@@ -1,0 +1,396 @@
+"""CLI + configuration system.
+
+Keeps the exact argparse surface of the reference (control/config.py:1-159)
+so reference experiment commands run unchanged, but parses it into a frozen
+``Config`` dataclass instead of a mutable global namespace. Fields that the
+reference monkey-patched onto ``args`` at runtime (``feature_means``,
+``vslt_mask``, ``device`` — data_preprocess.py:43,80-84, 2_train.py:65) are
+computed once here as derived attributes.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from . import constants
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """The reference CLI surface (control/config.py:10-153), verbatim flags."""
+    parser = argparse.ArgumentParser()
+
+    # General
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--seed-list', type=int, nargs='+', default=[412, 1004, 2023])
+    parser.add_argument('--device', type=int, default=1, nargs='+')
+    parser.add_argument('--cpu', type=int, default=0)
+    parser.add_argument('--num-workers', type=int, default=5)
+    parser.add_argument('--gpus', type=int, default=1)
+    parser.add_argument('--reset', default=False, action='store_true')
+    parser.add_argument('--project-name', type=str, default="small1")
+    parser.add_argument('--checkpoint', '-cp', type=bool, default=False)
+    parser.add_argument('--flexconst', type=float, default=1)
+
+    parser.add_argument('--prediction-range', type=int, default=12)
+    parser.add_argument('--min-inputlen', type=int, default=3)
+    parser.add_argument('--window-size', type=int, default=24)
+    parser.add_argument('--vslt-type', type=str, default="TIE",
+                        choices=["carryforward", "TIE", "QIE"])
+    parser.add_argument('--realtime', type=int, default=1, choices=[0, 1])
+    parser.add_argument('--multiimages', type=int, default=0, choices=[0, 1])
+    parser.add_argument('--TIE-len', type=int, default=1000)
+    parser.add_argument('--ar-lowerbound', type=float, default=0.7)
+    parser.add_argument('--ar-upperbound', type=float, default=1.3)
+
+    parser.add_argument('--input-types', type=str, default="vslt",
+                        choices=["vslt", "vslt_img", "vslt_txt", "vslt_img_txt"])
+    parser.add_argument('--output-type', type=str, default="mortality",
+                        choices=['mortality', 'vasso', 'intubation', 'cpr', 'transfer'])
+    parser.add_argument('--predict-type', type=str, default="within",
+                        choices=["within", "multi_task_within", "multi_task_range", "seq_pretrain"])
+    parser.add_argument('--modality-inclusion', type=str, default="train-full_test-full",
+                        choices=['train-full_test-full', 'train-missing_test-missing',
+                                 'train-full_test-missing'])
+    parser.add_argument('--fullmodal-definition', type=str, default="txt1_img1",
+                        choices=["txt1_img1", "img1", "txt1"])
+
+    # Data paths
+    parser.add_argument('--train-data-path', type=str, default="./data/sample_data/train")
+    parser.add_argument('--test-data-path', type=str, default="./data/sample_data/test")
+    parser.add_argument('--dir-result', type=str, default="./results")
+    parser.add_argument('--image-data-path', type=str, default="./data/images/")
+
+    # Data parameters
+    parser.add_argument('--cross-fold-val', type=int, default=0, choices=[1, 0])
+    parser.add_argument('--val-data-ratio', type=float, default=0.1)
+    parser.add_argument('--imgtxt-time', type=int, default=0, choices=[0, 1])
+
+    # Training
+    parser.add_argument('--missing-exhaustive', type=int, default=0, choices=[0, 1])
+    parser.add_argument('--epochs', type=int, default=50)
+    parser.add_argument('--batch-size', type=int, default=32)
+    parser.add_argument('--l2-coeff', type=float, default=0.002)
+    parser.add_argument('--dropout', type=float, default=0.1)
+    parser.add_argument('--activation', choices=['selu', 'relu'], default='relu', type=str)
+    parser.add_argument('--optim', type=str, default='adamw',
+                        choices=['sgd', 'sgd_lars', 'adam', 'adam_lars', 'adamw', 'adamw_lars'])
+    parser.add_argument('--lr-scheduler', type=str, default="CosineAnnealing",
+                        choices=["CosineAnnealing", "Single"])
+    parser.add_argument('--lr-init', type=float, default=1e-3)
+    parser.add_argument('--t_0', '-tz', type=int, default=50)
+    parser.add_argument('--t_mult', '-tm', type=int, default=2)
+    parser.add_argument('--t_up', '-tup', type=int, default=5)
+    parser.add_argument('--gamma', '-gam', type=float, default=0.5)
+    parser.add_argument('--momentum', '-mo', type=float, default=0.9)
+    parser.add_argument('--weight_decay', '-wd', type=float, default=1e-6)
+
+    parser.add_argument('--patient-time', default=False)
+    parser.add_argument('--threshold', type=float, default=0.5)
+    parser.add_argument('--output-dim', type=int, default=1)
+
+    # Text transformer
+    parser.add_argument('--txt-num-layers', type=int, default=8)
+    parser.add_argument('--txt-dropout', type=float, default=0.1)
+    parser.add_argument('--txt-model-dim', type=int, default=256)
+    parser.add_argument('--txt-num-heads', type=int, default=4)
+    parser.add_argument('--txt-classifier-nodes', type=int, default=64)
+
+    parser.add_argument('--txt-tokenization', type=str, default="bert",
+                        choices=["word", "character", "bpe", "bert"])
+    parser.add_argument('--berttype', type=str, default="biobert", choices=["biobert", "bert"])
+    parser.add_argument('--biobert-path', type=str, default="./data/mimic4_embeddings.h5")
+    parser.add_argument('--character-token-max-length', type=int, default=512)
+    parser.add_argument('--word-token-max-length', type=int, default=128)
+    parser.add_argument('--bpe-token-max-length', type=int, default=256)
+    parser.add_argument('--bert-token-max-length', type=int, default=128)
+
+    # VSLT model
+    parser.add_argument('--enc-depth', type=int, default=3, choices=[1, 2, 3])
+    parser.add_argument('--hidden-size', type=int, default=256)
+    parser.add_argument('--transformer-dim', type=int, default=256)
+    parser.add_argument('--transformer-num-layers', type=int, default=6)
+    parser.add_argument('--transformer-num-head', type=int, default=4)
+
+    # Image model
+    parser.add_argument('--resnet-num-layers', type=int, default=18, choices=[18, 34, 50])
+    parser.add_argument('--vit-num-layers', type=int, default=8, choices=[4, 8, 10, 12])
+    parser.add_argument('--vit-patch-size', type=int, default=16, choices=[8, 16])
+
+    parser.add_argument('--img-model-type', type=str, default="swin",
+                        choices=["resnet18", "resnet50", "swin", "vit", "maxvit"])
+    parser.add_argument('--img-pretrain', type=str, default="Yes", choices=["No", "Yes"])
+    parser.add_argument('--image-size', type=int, default=224, choices=[224, 512])
+    parser.add_argument('--image-train-type', type=str, default="resize_affine_crop",
+                        choices=["random", "resize", "resize_crop", "resize_affine_crop", "randaug"])
+    parser.add_argument('--image-test-type', type=str, default="resize_crop",
+                        choices=["center", "resize", "resize_crop", "resize_larger"])
+    parser.add_argument('--image-norm-type', type=str, default="HE", choices=["HE", "CLAHE"])
+
+    # MBT
+    parser.add_argument('--residual-bottlenecks', type=int, default=0, choices=[0, 1])
+    parser.add_argument('--mbt-bottlenecks-n', type=int, default=4)
+    parser.add_argument('--mbt-fusion-startIdx', type=int, default=0)
+    parser.add_argument('--mbt-only-vslt', type=int, default=0)
+
+    # Loss
+    parser.add_argument('--model-types', type=str, default="detection",
+                        choices=["detection", "classification"])
+    parser.add_argument('--loss-types', type=str, default="bce",
+                        choices=["bceandsoftmax", "softmax", "bces", "bce", "wkappa", "rmse"])
+    parser.add_argument('--auxiliary-loss-input', type=str, default=None,
+                        choices=[None, "directInput", "encOutput"])
+    parser.add_argument('--auxiliary-loss-type', type=str, default="None",
+                        choices=["None", "rmse", "tdecoder", "tdecoder_rmse"])
+    parser.add_argument('--auxiliary-loss-weight', type=float, default=1.0)
+
+    parser.add_argument('--mandatory-vitalsign-labtest', type=str, nargs='+',
+                        default=['HR', 'RR', 'BT', 'SBP', 'DBP', 'Sat'])
+    parser.add_argument('--vitalsign-labtest', type=str, nargs='+',
+                        default=['HR', 'RR', 'BT', 'SBP', 'DBP', 'Sat', 'Hematocrit', 'PLT',
+                                 'WBC', 'Bilirubin', 'pH', 'HCO3', 'Creatinine', 'Lactate',
+                                 'Potassium', 'Sodium'])
+    parser.add_argument('--model', type=str, default="gru_d")
+
+    # Logging / sampling
+    parser.add_argument('--log-iter', type=int, default=10)
+    parser.add_argument('--nonPatNegSampleN', type=int, default=4)
+    parser.add_argument('--PatNegSampleN', type=int, default=1)
+    parser.add_argument('--PatPosSampleN', type=int, default=5)
+    parser.add_argument('--best', default=True, action='store_true')
+    parser.add_argument('--last', default=False, action='store_true')
+
+    parser.add_argument('--fuse-baseline', type=str, default=None,
+                        choices=["Medfuse", "MMTM", "DAFT", "Retain", "Multi"])
+    parser.add_argument('--mmtm-ratio', type=float, default=4)
+    parser.add_argument('--daft_activation', type=str, default='linear')
+    parser.add_argument('--fusion-type', type=str, default='fused_ehr')
+
+    # Eval-time observed-modality dropout (3_test.py)
+    parser.add_argument('--image-observed-prop', type=int, default=100,
+                        choices=[10, 30, 50, 70, 90, 100])
+    parser.add_argument('--text-observed-prop', type=int, default=100,
+                        choices=[10, 30, 50, 70, 90, 100])
+
+    # --- TPU-native extensions (not in reference; all have safe defaults) ---
+    parser.add_argument('--precision', type=str, default='bf16', choices=['bf16', 'fp32'],
+                        help='activation precision; params/optimizer stay fp32')
+    parser.add_argument('--use-pallas', type=int, default=1, choices=[0, 1],
+                        help='use Pallas fused attention on TPU (XLA fallback otherwise)')
+    parser.add_argument('--dp-size', type=int, default=0,
+                        help='data-parallel mesh size; 0 = all local devices')
+    parser.add_argument('--checkpoint-every', type=int, default=0,
+                        help='also save a "last" checkpoint every N steps (0 = per-eval only)')
+    parser.add_argument('--profile-dir', type=str, default=None,
+                        help='if set, write a jax.profiler trace of a few training steps here')
+    return parser
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Frozen snapshot of all flags + derived fields."""
+    # everything from the parser lands here; see build_parser for semantics
+    seed: int
+    seed_list: Tuple[int, ...]
+    device: Tuple[int, ...]
+    cpu: int
+    num_workers: int
+    gpus: int
+    reset: bool
+    project_name: str
+    checkpoint: bool
+    flexconst: float
+    prediction_range: int
+    min_inputlen: int
+    window_size: int
+    vslt_type: str
+    realtime: int
+    multiimages: int
+    tie_len: int
+    ar_lowerbound: float
+    ar_upperbound: float
+    input_types: str
+    output_type: str
+    predict_type: str
+    modality_inclusion: str
+    fullmodal_definition: str
+    train_data_path: str
+    test_data_path: str
+    dir_result: str
+    image_data_path: str
+    cross_fold_val: int
+    val_data_ratio: float
+    imgtxt_time: int
+    missing_exhaustive: int
+    epochs: int
+    batch_size: int
+    l2_coeff: float
+    dropout: float
+    activation: str
+    optim: str
+    lr_scheduler: str
+    lr_init: float
+    t_0: int
+    t_mult: int
+    t_up: int
+    gamma: float
+    momentum: float
+    weight_decay: float
+    patient_time: bool
+    threshold: float
+    output_dim: int
+    txt_num_layers: int
+    txt_dropout: float
+    txt_model_dim: int
+    txt_num_heads: int
+    txt_classifier_nodes: int
+    txt_tokenization: str
+    berttype: str
+    biobert_path: str
+    character_token_max_length: int
+    word_token_max_length: int
+    bpe_token_max_length: int
+    bert_token_max_length: int
+    enc_depth: int
+    hidden_size: int
+    transformer_dim: int
+    transformer_num_layers: int
+    transformer_num_head: int
+    resnet_num_layers: int
+    vit_num_layers: int
+    vit_patch_size: int
+    img_model_type: str
+    img_pretrain: str
+    image_size: int
+    image_train_type: str
+    image_test_type: str
+    image_norm_type: str
+    residual_bottlenecks: int
+    mbt_bottlenecks_n: int
+    mbt_fusion_startidx: int
+    mbt_only_vslt: int
+    model_types: str
+    loss_types: str
+    auxiliary_loss_input: Optional[str]
+    auxiliary_loss_type: str
+    auxiliary_loss_weight: float
+    mandatory_vitalsign_labtest: Tuple[str, ...]
+    vitalsign_labtest: Tuple[str, ...]
+    model: str
+    log_iter: int
+    non_pat_neg_sample_n: int
+    pat_neg_sample_n: int
+    pat_pos_sample_n: int
+    best: bool
+    last: bool
+    fuse_baseline: Optional[str]
+    mmtm_ratio: float
+    daft_activation: str
+    fusion_type: str
+    image_observed_prop: int
+    text_observed_prop: int
+    # TPU-native
+    precision: str
+    use_pallas: int
+    dp_size: int
+    checkpoint_every: int
+    profile_dir: Optional[str]
+    # derived
+    dir_root: str = "."
+    log_fold: int = 0
+
+    # ------------------------------------------------------------------
+    @property
+    def n_modality(self) -> int:
+        return len(self.input_types.split("_"))
+
+    @property
+    def vslt_len(self) -> int:
+        return len(self.vitalsign_labtest)
+
+    @property
+    def vslt_mask(self) -> List[bool]:
+        """True = channel removed (data_preprocess.py:43)."""
+        return [name not in self.vitalsign_labtest for name in constants.VITALSIGN_LABTEST]
+
+    @property
+    def feature_means(self) -> np.ndarray:
+        """Population means restricted to selected channels
+        (data_preprocess.py:83-84)."""
+        return np.delete(constants.FEATURE_MEANS, np.where(self.vslt_mask)[0], axis=0)
+
+    @property
+    def feature_mins(self) -> np.ndarray:
+        return constants.FEATURE_MINS
+
+    @property
+    def feature_maxs(self) -> np.ndarray:
+        return constants.FEATURE_MAXS
+
+    @property
+    def txt_token_size(self) -> int:
+        """Sequence length of the text modality entering the model."""
+        if self.berttype == "biobert":
+            return 128 if "embedding" in self.biobert_path else 1
+        return {
+            "word": self.word_token_max_length,
+            "character": self.character_token_max_length,
+            "bpe": self.bpe_token_max_length,
+            "bert": self.bert_token_max_length,
+        }[self.txt_tokenization]
+
+    @property
+    def token_max_length(self) -> int:
+        """Feature dimension of a text token (768 for biobert embeddings)."""
+        if self.berttype == "biobert":
+            return 768
+        return self.bert_token_max_length
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def validate(self) -> None:
+        """Cross-flag validation (reference config.py:157-159)."""
+        if "train-full" in self.modality_inclusion:
+            mods = [i for i in self.input_types.split("_") if i != "vslt"]
+            defs = self.fullmodal_definition.split("_")
+            if not all((m + "1") in defs for m in mods):
+                raise ValueError(
+                    'invalid input_types for full_modal with fullmodal_definition!!!')
+
+
+_RENAMES = {
+    "TIE_len": "tie_len",
+    "mbt_fusion_startIdx": "mbt_fusion_startidx",
+    "nonPatNegSampleN": "non_pat_neg_sample_n",
+    "PatNegSampleN": "pat_neg_sample_n",
+    "PatPosSampleN": "pat_pos_sample_n",
+}
+
+
+def config_from_namespace(ns: argparse.Namespace) -> Config:
+    d = vars(ns).copy()
+    for old, new in _RENAMES.items():
+        if old in d:
+            d[new] = d.pop(old)
+    for k in ("seed_list", "device", "mandatory_vitalsign_labtest", "vitalsign_labtest"):
+        v = d.get(k)
+        if isinstance(v, list):
+            d[k] = tuple(v)
+        elif isinstance(v, int):
+            d[k] = (v,)
+    d["dir_root"] = os.getcwd()
+    field_names = {f.name for f in dataclasses.fields(Config)}
+    d = {k: v for k, v in d.items() if k in field_names}
+    cfg = Config(**d)
+    cfg.validate()
+    return cfg
+
+
+def parse_config(argv: Optional[List[str]] = None) -> Config:
+    parser = build_parser()
+    ns = parser.parse_args(argv)
+    return config_from_namespace(ns)

@@ -1,0 +1,156 @@
+"""CXR image decode + augmentation on the host (PIL + numpy).
+
+Reimplements the torchvision transform stacks of the reference
+(dataset_new.py:60-160): histogram equalization, resize / center-crop /
+random-resized-crop / random-affine pipelines. Outputs float32 [1, H, W]
+in [0, 1] with a static shape so batches stack directly for the device.
+"""
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageOps
+
+
+def equalize(img: Image.Image) -> Image.Image:
+    """Histogram equalization (torchvision.functional.equalize analog)."""
+    return ImageOps.equalize(img)
+
+
+def _resize_shorter(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    if w <= h:
+        nw, nh = size, max(1, int(round(size * h / w)))
+    else:
+        nh, nw = size, max(1, int(round(size * w / h)))
+    return img.resize((nw, nh), Image.BILINEAR)
+
+
+def _center_crop(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    if w < size or h < size:
+        # pad to size (torchvision pads with 0)
+        canvas = Image.new(img.mode, (max(w, size), max(h, size)), 0)
+        canvas.paste(img, ((canvas.size[0] - w) // 2, (canvas.size[1] - h) // 2))
+        img, (w, h) = canvas, canvas.size
+    left = int(round((w - size) / 2.0))
+    top = int(round((h - size) / 2.0))
+    return img.crop((left, top, left + size, top + size))
+
+
+def _random_resized_crop(img: Image.Image, size: int, rng: random.Random,
+                         scale=(0.8, 1.1), ratio=(3 / 4, 4 / 3)) -> Image.Image:
+    w, h = img.size
+    area = w * h
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(*scale)
+        aspect = math.exp(rng.uniform(*log_ratio))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            left = rng.randint(0, w - cw)
+            top = rng.randint(0, h - ch)
+            return img.crop((left, top, left + cw, top + ch)).resize(
+                (size, size), Image.BILINEAR)
+    # fallback: center crop at clamped aspect
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        ch, cw = h, int(round(h * ratio[1]))
+    else:
+        cw, ch = w, h
+    left, top = (w - cw) // 2, (h - ch) // 2
+    return img.crop((left, top, left + cw, top + ch)).resize((size, size), Image.BILINEAR)
+
+
+def _random_affine(img: Image.Image, rng: random.Random, degrees=5.0,
+                   scale=(0.85, 1.15), translate=(0.15, 0.15)) -> Image.Image:
+    """torchvision RandomAffine analog: rotation+scale+translation about the
+    image center, bilinear, zero fill."""
+    angle = math.radians(rng.uniform(-degrees, degrees))
+    s = rng.uniform(*scale)
+    w, h = img.size
+    tx = rng.uniform(-translate[0], translate[0]) * w
+    ty = rng.uniform(-translate[1], translate[1]) * h
+    cx, cy = w * 0.5, h * 0.5
+    # inverse mapping (output -> input) for PIL transform
+    cos_a, sin_a = math.cos(angle) / s, math.sin(angle) / s
+    a, b = cos_a, sin_a
+    c = cx - a * (cx + tx) - b * (cy + ty)
+    d, e = -sin_a, cos_a
+    f = cy - d * (cx + tx) - e * (cy + ty)
+    return img.transform((w, h), Image.AFFINE, (a, b, c, d, e, f), Image.BILINEAR)
+
+
+def _rand_augment(img: Image.Image, rng: random.Random) -> Image.Image:
+    """Light RandAugment analog over PIL ops (2 ops, magnitude 9/30)."""
+    ops = [
+        lambda im: ImageOps.autocontrast(im),
+        lambda im: ImageOps.equalize(im),
+        lambda im: im.rotate(rng.uniform(-9, 9), resample=Image.BILINEAR),
+        lambda im: ImageOps.solarize(im, 256 - int(256 * 0.3)),
+        lambda im: ImageOps.posterize(im, 6),
+        lambda im: im.transform(im.size, Image.AFFINE,
+                                (1, rng.uniform(-0.3, 0.3) * 0.3, 0, 0, 1, 0),
+                                Image.BILINEAR),
+    ]
+    for op in rng.sample(ops, 2):
+        img = op(img)
+    return img
+
+
+def to_tensor(img: Image.Image) -> np.ndarray:
+    """PIL -> float32 [C, H, W] in [0,1] (torchvision ToTensor analog)."""
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[None]
+    else:
+        arr = arr.transpose(2, 0, 1)
+    return arr
+
+
+def transform_image(img: Image.Image, kind: str, size: int,
+                    rng: Optional[random.Random] = None) -> np.ndarray:
+    """Apply one of the reference transform stacks.
+
+    Train kinds: random | resize | resize_crop | resize_affine_crop | randaug
+    Eval kinds:  center | resize_eval | resize_crop | resize_larger
+    """
+    rng = rng or random
+    if kind == "random":
+        img = _random_resized_crop(img, size, rng)
+    elif kind == "randaug":
+        img = _rand_augment(img, rng)
+        img = _random_resized_crop(img, size, rng)
+    elif kind == "resize":
+        img = _resize_shorter(img, size)
+        img = _center_crop(img, size)
+    elif kind in ("resize_crop", "resize_larger"):
+        img = _resize_shorter(img, round(size * 1.142))
+        img = _center_crop(img, size)
+    elif kind == "resize_affine_crop":
+        img = _resize_shorter(img, round(size * 1.142))
+        img = _random_affine(img, rng)
+        img = _center_crop(img, size)
+    elif kind == "center":
+        img = _resize_shorter(img, size)
+        img = _center_crop(img, size)
+    elif kind == "resize_eval":
+        img = img.resize((size, size), Image.BILINEAR)
+    else:
+        raise ValueError(f"unknown image transform kind: {kind}")
+    return to_tensor(img)
+
+
+def load_cxr(path: str, kind: str, size: int,
+             rng: Optional[random.Random] = None) -> np.ndarray:
+    """Open + equalize + transform one CXR jpeg (dataset_new.py:700-702)."""
+    with Image.open(path) as im:
+        im.load()
+        img = equalize(im)
+    return transform_image(img, kind, size, rng)

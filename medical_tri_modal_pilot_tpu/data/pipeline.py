@@ -1,0 +1,121 @@
+"""Batch assembly + async host prefetch feeding the TPU.
+
+Replaces the reference's torch DataLoader (data_preprocess.py:89-95) with a
+thread-pooled batch builder and a one-batch-ahead prefetcher. Samples have
+static shapes (dataset.py), so batches are plain stacked numpy dicts that
+``jax.device_put`` can ship straight to HBM (optionally pre-sharded over a
+data-parallel mesh by the trainer).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config
+from .dataset import EvalDataset, TrainingDataset
+from .indexer import (MULTIPLE_TASKS, build_eval_index, patient_wise_ordering,
+                      search_walk, _build_train_index)
+from .sampler import SequentialSampler, WeightedClassSampler
+
+Batch = Dict[str, np.ndarray]
+
+
+def _stack(samples: List[dict]) -> Batch:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class BatchLoader:
+    """Iterates a dataset in fixed-size batches with worker threads and a
+    bounded prefetch queue. drop_last is always on (static batch shapes)."""
+
+    def __init__(self, dataset, batch_size: int, sampler, num_workers: int = 4,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def __iter__(self) -> Iterator[Batch]:
+        indices = self.sampler.epoch_indices()
+        n_batches = len(indices) // self.batch_size
+        if n_batches == 0:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        break
+                    batch_idx = indices[b * self.batch_size:(b + 1) * self.batch_size]
+                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                    q.put(_stack(samples))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+def get_data_loaders(cfg: Config, patient_dict=None, keys_list=None,
+                     k_indx: int = 0) -> Tuple[BatchLoader, BatchLoader, BatchLoader]:
+    """(train, val, test) loaders — reference get_data_loader
+    (data_preprocess.py:23-97)."""
+    if patient_dict is None or keys_list is None:
+        patient_dict, keys_list = patient_wise_ordering(cfg)
+    if cfg.cross_fold_val == 1:
+        folds = list(range(len(cfg.seed_list)))
+        fold_val = folds.pop(k_indx)
+        train_keys = [k for f in folds for k in keys_list[f]]
+        val_keys = keys_list[fold_val]
+    else:
+        train_keys, val_keys = keys_list[0], keys_list[1]
+    train_paths = [p for k in train_keys for p in patient_dict[k]]
+    val_paths = [p for k in val_keys for p in patient_dict[k]]
+    test_paths = search_walk(cfg.test_data_path, ".pkl")
+
+    train_index = _build_train_index(cfg, train_paths)
+    train_data = TrainingDataset(cfg, train_index, seed=cfg.seed)
+    val_index = build_eval_index(cfg, val_paths, "validation")
+    val_data = EvalDataset(cfg, val_index, "validation", seed=cfg.seed)
+    test_index = build_eval_index(cfg, test_paths, "test")
+    test_data = EvalDataset(cfg, test_index, "test", seed=cfg.seed)
+
+    sampler = WeightedClassSampler(train_data.type_list, seed=cfg.seed)
+    train_loader = BatchLoader(train_data, cfg.batch_size, sampler, cfg.num_workers)
+    val_loader = BatchLoader(val_data, cfg.batch_size,
+                             SequentialSampler(len(val_data)), cfg.num_workers)
+    test_loader = BatchLoader(test_data, cfg.batch_size,
+                              SequentialSampler(len(test_data)), cfg.num_workers)
+    return train_loader, val_loader, test_loader
+
+
+def get_test_data_loader(cfg: Config) -> BatchLoader:
+    """Reference get_test_data_loader (data_preprocess.py:100-126)."""
+    test_paths = search_walk(cfg.test_data_path, ".pkl")
+    test_index = build_eval_index(cfg, test_paths, "test")
+    test_data = EvalDataset(cfg, test_index, "test", seed=cfg.seed)
+    return BatchLoader(test_data, cfg.batch_size,
+                       SequentialSampler(len(test_data)), cfg.num_workers)
