@@ -1,0 +1,126 @@
+"""Training driver — same CLI surface and flow as the reference 2_train.py
+(seeds -> settings file -> patient split -> per-seed {loaders, model,
+optimizer+cosine schedule, epoch loop with per-epoch validation, best-ckpt
+save, final test with the best checkpoint}), running on TPU via jitted
+data-parallel step functions."""
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+from medical_tri_modal_pilot_tpu.config import parse_config
+from medical_tri_modal_pilot_tpu.data.indexer import patient_wise_ordering
+from medical_tri_modal_pilot_tpu.data.pipeline import get_data_loaders
+from medical_tri_modal_pilot_tpu.models import get_model
+from medical_tri_modal_pilot_tpu.train.checkpoints import (
+    ckpt_path, load_checkpoint, restore_into_state)
+from medical_tri_modal_pilot_tpu.train.logger import (Logger,
+                                                      ResultsAggregator,
+                                                      make_setting_file)
+from medical_tri_modal_pilot_tpu.train.trainer import Trainer
+
+
+def set_seeds(seed: int) -> None:
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def run_eval(trainer, loader, logger) -> float:
+    logger.evaluator.reset()
+    total_loss, n = 0.0, 0
+    for batch in loader:
+        probs, loss = trainer.eval_step(batch)
+        logger.evaluator.add_batch(batch["target"], probs)
+        total_loss += loss
+        n += 1
+    return total_loss / max(n, 1)
+
+
+def main() -> None:
+    cfg = parse_config()
+    make_setting_file(cfg)
+
+    save_valid = ResultsAggregator("validation (all seeds)")
+    save_test = ResultsAggregator("test (all seeds)")
+
+    patient_dict, keys_list = patient_wise_ordering(cfg)
+    print("Selected Dataset: ", cfg.train_data_path.split("/")[-2])
+
+    for k_indx, seed_num in enumerate(cfg.seed_list):
+        seed_cfg = cfg.replace(seed=seed_num if cfg.cross_fold_val != 1 else cfg.seed,
+                               log_fold=k_indx)
+        set_seeds(seed_cfg.seed)
+        logger = Logger(seed_cfg, fold=k_indx, seed=seed_cfg.seed)
+
+        print("########## Experiment Begins ##########")
+        print(seed_cfg.input_types, seed_cfg.modality_inclusion, seed_cfg.model)
+
+        train_loader, val_loader, test_loader = get_data_loaders(
+            seed_cfg, patient_dict, keys_list, k_indx)
+        iters_per_epoch = len(train_loader)
+        print("# of Iterations (per epoch): ", iters_per_epoch)
+        if iters_per_epoch == 0:
+            print("empty train loader — reduce batch size or add data")
+            continue
+
+        model = get_model(seed_cfg)
+        sample_batch = next(iter(train_loader))
+        trainer = Trainer(seed_cfg, model, iters_per_epoch, sample_batch,
+                          seed=seed_cfg.seed)
+
+        start_epoch = 1
+        if seed_cfg.checkpoint:
+            kind = "last" if seed_cfg.last else "best"
+            path = ckpt_path(seed_cfg.dir_result, seed_cfg.project_name, kind,
+                             k_indx, seed_cfg.seed)
+            if os.path.exists(path):
+                payload = load_checkpoint(path)
+                trainer.state = restore_into_state(trainer.state, payload)
+                logger.best_auc = payload["score"]
+                start_epoch = payload["epoch"]
+
+        iteration = 0
+        t_start = time.time()
+        for epoch in range(start_epoch, seed_cfg.epochs + 1):
+            epoch_loss = 0.0
+            for it, batch in enumerate(train_loader):
+                loss = trainer.train_step(batch)
+                iteration += 1
+                if iteration % seed_cfg.log_iter == 0:
+                    loss_f = float(loss)
+                    epoch_loss += loss_f
+                    logger.log_train(loss_f, trainer.current_lr(), iteration)
+            # per-epoch validation (2_train.py:213-287)
+            if len(val_loader) > 0:
+                val_loss = run_eval(trainer, val_loader, logger)
+                logger.add_validation_logs(iteration, val_loss)
+            logger.save(trainer.state, iteration, epoch)
+            dt = time.time() - t_start
+            print(f"epoch {epoch}/{seed_cfg.epochs} done "
+                  f"({iteration} iters, {dt:.1f}s elapsed)")
+
+        save_valid.add(logger.val_results)
+
+        # final test with the best checkpoint (2_train.py:298-384)
+        kind = "last" if seed_cfg.last and not seed_cfg.best else "best"
+        path = ckpt_path(seed_cfg.dir_result, seed_cfg.project_name, kind,
+                         k_indx, seed_cfg.seed)
+        if os.path.exists(path):
+            payload = load_checkpoint(path)
+            trainer.state = restore_into_state(trainer.state, payload,
+                                               with_optimizer=False)
+        if len(test_loader) > 0:
+            run_eval(trainer, test_loader, logger)
+            save_test.add(logger.test_result_only())
+        logger.close()
+
+    save_valid.summarize()
+    save_test.summarize()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Standalone evaluation driver — reference 3_test.py: walk
+{dir_result}/{project}/ckpts/*.pth, rebuild the test loader per checkpoint
+(with --image/text-observed-prop modality dropout), load weights, eval, and
+aggregate across seeds. (The reference file's eval loop is dead code after
+a stray `continue` at 3_test.py:140 — this implements the evident intent.)"""
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import numpy as np
+
+from medical_tri_modal_pilot_tpu.config import parse_config
+from medical_tri_modal_pilot_tpu.data.pipeline import get_test_data_loader
+from medical_tri_modal_pilot_tpu.models import get_model
+from medical_tri_modal_pilot_tpu.train.checkpoints import (load_checkpoint,
+                                                           restore_into_state)
+from medical_tri_modal_pilot_tpu.train.logger import Logger, ResultsAggregator
+from medical_tri_modal_pilot_tpu.train.trainer import Trainer
+
+
+def search_ckpts(root: str):
+    found = []
+    for path, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(".pth"):
+                found.append(os.path.join(path, fn))
+    return sorted(found)
+
+
+def main() -> None:
+    cfg = parse_config()
+    ckpt_dir = os.path.join(cfg.dir_result, cfg.project_name, "ckpts")
+    ckpts = [p for p in search_ckpts(ckpt_dir)
+             if ("best" in os.path.basename(p) if cfg.best and not cfg.last
+                 else True)]
+    if not ckpts:
+        print(f"no checkpoints under {ckpt_dir}")
+        sys.exit(1)
+
+    agg = ResultsAggregator("test (all ckpts)")
+    for k_indx, path in enumerate(ckpts):
+        random.seed(cfg.seed)
+        np.random.seed(cfg.seed)
+        logger = Logger(cfg, fold=k_indx)
+        test_loader = get_test_data_loader(cfg)
+        if len(test_loader) == 0:
+            print("empty test loader")
+            continue
+        model = get_model(cfg)
+        sample_batch = next(iter(test_loader))
+        trainer = Trainer(cfg, model, 1, sample_batch, seed=cfg.seed)
+        payload = load_checkpoint(path)
+        trainer.state = restore_into_state(trainer.state, payload,
+                                           with_optimizer=False)
+        logger.evaluator.reset()
+        for batch in test_loader:
+            probs, _loss = trainer.eval_step(batch)
+            logger.evaluator.add_batch(batch["target"], probs)
+        print(f"ckpt: {path}")
+        agg.add(logger.test_result_only())
+        logger.close()
+    agg.summarize()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""Pallas fused masked attention for TPU (forward + custom VJP).
+
+The hot loop of every model is 6 layers x 3 modality stacks of padded
+self-attention over <=1005-token sequences (SURVEY.md §3.4). The XLA path
+(models/modules.py:masked_softmax_attention) materializes [B, H, Lq, Lk]
+scores in HBM; this kernel computes flash-style streaming softmax in VMEM,
+never materializing the score matrix, with the reference's exact mask
+semantics: valid-but-masked keys score -65504 (fp16-safe min,
+attention.py:38) so fully-masked query rows softmax to uniform over the
+real keys, while array-padding keys (added here to reach tile-aligned
+lengths) are excluded from the denominator entirely.
+
+Layout: q, k, v are [B, H, L, Dh]; the per-sample key mask arrives as a
+lengths vector (key j masked iff j >= lengths[b]). Grid is
+(B*H, q_blocks); each step streams k/v blocks of 128 rows through the MXU
+with running max/denominator accumulators in VMEM scratch.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import MASK_FILL_VALUE
+
+BLOCK_Q = 128
+BLOCK_K = 128
+PAD_NEG = -1e30  # array-padding fill: excluded from softmax entirely
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                l_real: int, n_kblocks: int, block_k: int):
+    bh = pl.program_id(0)
+    # lengths_ref is indexed by bh directly (pre-expanded to B*H on host)
+    length = lengths_ref[bh]
+
+    q = q_ref[0].astype(jnp.float32)                   # [BLOCK_Q, D]
+    acc = jnp.zeros((q.shape[0], q_ref.shape[-1]), jnp.float32)
+    m_i = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
+    l_i = jnp.zeros((q.shape[0], 1), jnp.float32)
+
+    def body(kb, carry):
+        acc, m_i, l_i = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+        j = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1)
+        s = jnp.where(j >= length, MASK_FILL_VALUE, s)
+        s = jnp.where(j >= l_real, PAD_NEG, s)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc, m_i, l_i = jax.lax.fori_loop(0, n_kblocks, body, (acc, m_i, l_i))
+    o_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+
+
+def _fwd(q, k, v, lengths, scale):
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    lq_pad = _round_up(Lq, BLOCK_Q)
+    lk_pad = _round_up(Lk, BLOCK_K)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
+    qp = qp.reshape(B * H, lq_pad, D)
+    kp = kp.reshape(B * H, lk_pad, D)
+    vp = vp.reshape(B * H, lk_pad, D)
+    len_bh = jnp.repeat(lengths.astype(jnp.int32), H)
+
+    n_qblocks = lq_pad // BLOCK_Q
+    grid = (B * H, n_qblocks)
+    kern = functools.partial(
+        _fwd_kernel, scale=scale, l_real=Lk,
+        n_kblocks=lk_pad // BLOCK_K, block_k=BLOCK_K)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, BLOCK_Q, D), lambda bh, qi, *_: (bh, qi, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, qi, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, qi, *_: (bh, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, BLOCK_Q, D),
+                                   lambda bh, qi, *_: (bh, qi, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, lq_pad, D), q.dtype),
+        interpret=_interpret(),
+    )(len_bh, qp, kp, vp)
+    return out.reshape(B, H, lq_pad, D)[:, :, :Lq, :]
+
+
+# ---------------------------------------------------------------------------
+# backward (recompute attention blockwise)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
+                dq_ref, dk_ref, dv_ref, *, scale: float, l_real: int,
+                lq_real: int, n_qblocks: int, block_q: int):
+    """Grid over (B*H,). Recomputes softmax per (q-block) with full K in
+    VMEM; accumulates dk/dv across q blocks, writes dq per block."""
+    bh = pl.program_id(0)
+    length = lengths_ref[bh]
+    k = k_ref[0].astype(jnp.float32)                    # [Lk, D]
+    v = v_ref[0].astype(jnp.float32)
+
+    dk_acc = jnp.zeros_like(k)
+    dv_acc = jnp.zeros_like(v)
+
+    def body(qi, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        o = o_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        j = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        masked = j >= length
+        s = jnp.where(masked, MASK_FILL_VALUE, s)
+        s = jnp.where(j >= l_real, PAD_NEG, s)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+        # rows beyond the real query length contribute nothing
+        qrow = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), dimension=0)
+        row_valid = (qrow < lq_real).astype(jnp.float32)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p * row_valid, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dpart = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        delta = jnp.sum(do * o, axis=1, keepdims=True)
+        ds = p * (dpart - delta) * scale
+        # masked/padded lanes carry no score gradient (where() semantics)
+        ds = jnp.where(masked | (j >= l_real), 0.0, ds) * row_valid
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[0, pl.ds(qi * block_q, block_q), :] = dq.astype(dq_ref.dtype)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    dk_acc, dv_acc = jax.lax.fori_loop(0, n_qblocks, body, (dk_acc, dv_acc))
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _bwd(scale, res, g):
+    q, k, v, lengths, o = res
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    lq_pad = _round_up(Lq, BLOCK_Q)
+    lk_pad = _round_up(Lk, BLOCK_K)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0))).reshape(B * H, lq_pad, D)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0))).reshape(B * H, lk_pad, D)
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0))).reshape(B * H, lk_pad, D)
+    dop = jnp.pad(g, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0))).reshape(B * H, lq_pad, D)
+    op = jnp.pad(o, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0))).reshape(B * H, lq_pad, D)
+    len_bh = jnp.repeat(lengths.astype(jnp.int32), H)
+
+    kern = functools.partial(
+        _bwd_kernel, scale=scale, l_real=Lk, lq_real=Lq,
+        n_qblocks=lq_pad // BLOCK_Q, block_q=BLOCK_Q)
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * H,),
+            in_specs=[
+                pl.BlockSpec((1, lq_pad, D), lambda bh, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, lq_pad, D), lambda bh, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, lq_pad, D), lambda bh, *_: (bh, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, lq_pad, D), lambda bh, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, *_: (bh, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, lq_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, lk_pad, D), k.dtype),
+            jax.ShapeDtypeStruct((B * H, lk_pad, D), v.dtype),
+        ],
+        interpret=_interpret(),
+    )(len_bh, qp, kp, vp, dop, op)
+    dq = dq.reshape(B, H, lq_pad, D)[:, :, :Lq, :]
+    dk = dk.reshape(B, H, lk_pad, D)[:, :, :Lk, :]
+    dv = dv.reshape(B, H, lk_pad, D)[:, :, :Lk, :]
+    return dq, dk, dv, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_attention(q, k, v, lengths, scale):
+    return _fwd(q, k, v, lengths, scale)
+
+
+def _flash_fwd(q, k, v, lengths, scale):
+    o = _fwd(q, k, v, lengths, scale)
+    return o, (q, k, v, lengths, o)
+
+
+_flash_attention.defvjp(_flash_fwd, _bwd)
+
+
+def pallas_masked_attention(q, k, v, key_mask: Optional[jnp.ndarray],
+                            scale: float) -> jnp.ndarray:
+    """Drop-in for modules.masked_softmax_attention. ``key_mask`` must be a
+    length-style mask (True tail = masked); converted to lengths here."""
+    if key_mask is None:
+        lengths = jnp.full((q.shape[0],), k.shape[2], dtype=jnp.int32)
+    else:
+        lengths = jnp.sum(~key_mask, axis=1).astype(jnp.int32)
+    return _flash_attention(q, k, v, lengths, 1.0 / scale)

@@ -1,0 +1,387 @@
+"""The live model family (reference builder/models/8_missing_models/*).
+
+Every model shares the same input contract (a dict of statically-shaped
+arrays, see data/dataset.py) and returns ``(logits, rmse, aux)`` like the
+reference's uniform 18-arg forward (tri_mbt_vsltcls.py:167).
+
+A shared ``MBTBackbone`` factors the copy-pasted UMSE + image/text encoding
++ fusion blocks of the reference files; heads differ per model:
+
+  tri_mbt_vsltcls      vslt-cls + demo -> fc (tri_mbt_vsltcls.py:248-255)
+  tri_mbt_v1/v2/v3     per-modality cls -> fc -> missing-aware mean
+                       (tri_mbt_v1.py:269-280)
+  tri_mbt_vflexible*   learned masked-softmax cls weighting
+                       (tri_mbt_vflexible.py:148,276-289)
+  tri_mbt_vnosh*avgtr  3 non-shared heads (tri_mbt_vnoshnoavgtr.py:259-281)
+  *_mt_v1              concat-fusion baseline (encoder.py:120-249)
+  unimodal_transformer vslt-only encoder (unimodal_transformer.py:67-124)
+
+The reference's biimg_mbt_vsltcls is dead code (debug exit(1) mid-forward,
+biimg_mbt_vsltcls.py:268) and bitxt_mbt_vsltcls indexes a 2-element stack at
+[2] (would raise); both are implemented here functionally as bimodal MBT
+with candidates {mean, vslt-only}.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from ..constants import IMG_FEATURE_ID, TXT_FEATURE_ID
+from .encoder import MTFusion, TransformerEncoder
+from .heads import ClsHead
+from .mbt import MBTFusion
+from .modules import MLPStem
+from .swin import PatchEmbed, SwinTransformer
+from .umse import UMSE
+from .vit import VisionTransformer
+
+ModelOutput = Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]
+
+
+def model_dtype(cfg: Config) -> jnp.dtype:
+    return jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+
+
+class ImageEncoder(nn.Module):
+    """swin/vit/patch-embed stem -> [B, N, d_model] tokens
+    (tri_mbt_vsltcls.py:83-118, :202-214). The swin path is frozen
+    (torch.no_grad, :208-209) — stop_gradient here."""
+    cfg: Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, deterministic: bool = True):
+        cfg = self.cfg
+        if cfg.img_model_type == "vit":
+            feats = VisionTransformer(in_channels=1, image_size=cfg.image_size,
+                                      dtype=self.dtype, name="img_encoder")(
+                                          img, deterministic)
+            return nn.Dense(cfg.transformer_dim, dtype=self.dtype,
+                            name="linear")(feats)
+        if cfg.img_model_type == "swin":
+            if cfg.multiimages == 1:
+                img = img.reshape(-1, 1, cfg.image_size, cfg.image_size)
+            feats = SwinTransformer(in_channels=1, dtype=self.dtype,
+                                    name="img_encoder")(img, deterministic)
+            if cfg.img_pretrain == "Yes":
+                feats = jax.lax.stop_gradient(feats)
+            B = feats.shape[0]
+            feats = feats.reshape(B, -1, feats.shape[-1])      # [B, 49, 768]
+            return nn.Dense(cfg.transformer_dim, dtype=self.dtype,
+                            name="linear")(feats)
+        return PatchEmbed(img_size=cfg.image_size, patch_size=16,
+                          hidden=cfg.transformer_dim, dtype=self.dtype,
+                          name="patch_embedding")(img)
+
+
+class MBTBackbone(nn.Module):
+    """UMSE stems + modality encoders + MBT fusion. ``modalities`` selects
+    which streams feed the fusion ('vslt_img_txt', 'vslt_img', 'vslt_txt')."""
+    cfg: Config
+    share_umse: bool = True
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], missing_num: jnp.ndarray,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        dt = model_dtype(cfg)
+        mods = cfg.input_types.split("_")
+        umse = UMSE(cfg.transformer_dim, cfg.vslt_type, cfg.berttype,
+                    cfg.imgtxt_time, cfg.vslt_len, dtype=dt, name="umse")
+        vslt_tokens, demo = umse.embed_vslt(batch["vslt"], batch["static"][:, 1],
+                                            batch["static"][:, 0])
+        enc_inputs = [vslt_tokens]
+        varying = [batch["input_length"].astype(jnp.int32)]
+        use_pe = [cfg.vslt_type == "carryforward"]
+        mask = [True]
+
+        img_tokens = None
+        if "img" in mods:
+            if not self.share_umse:
+                img_umse = UMSE(cfg.transformer_dim, cfg.vslt_type, cfg.berttype,
+                                cfg.imgtxt_time, cfg.vslt_len, dtype=dt,
+                                name="umse_img")
+            img_tokens = ImageEncoder(cfg, dtype=dt, name="img_enc")(
+                batch["img"], deterministic)
+            img_time = batch["img_time"]
+            if cfg.imgtxt_time == 1:
+                stems = umse if self.share_umse else img_umse
+                img_tokens = stems.add_time_feature(
+                    img_tokens, img_time.reshape(-1), IMG_FEATURE_ID, demo)
+            if cfg.multiimages == 1:
+                B = batch["vslt"].shape[0]
+                img_tokens = img_tokens.reshape(B, -1, cfg.transformer_dim)
+                n_real = jnp.count_nonzero(
+                    batch["img_time"].reshape(B, 3) - 10, axis=1)
+                img_len = (n_real * 49).astype(jnp.int32)
+                mask.append(True)
+            else:
+                img_len = jnp.full((img_tokens.shape[0],), img_tokens.shape[1],
+                                   dtype=jnp.int32)
+                mask.append(False)   # single-image stack runs unmasked
+            enc_inputs.append(img_tokens)
+            varying.append(img_len)
+            use_pe.append(False)
+
+        if "txt" in mods:
+            if not self.share_umse:
+                txt_umse = UMSE(cfg.transformer_dim, cfg.vslt_type, cfg.berttype,
+                                cfg.imgtxt_time, cfg.vslt_len, dtype=dt,
+                                name="umse_txt")
+                txt_tokens = txt_umse.embed_txt(batch["txt"])
+            else:
+                txt_tokens = umse.embed_txt(batch["txt"])
+            if txt_tokens.ndim == 2:
+                txt_tokens = txt_tokens[:, None, :]   # cls-token biobert path
+            if cfg.imgtxt_time == 1:
+                stems = umse if self.share_umse else txt_umse
+                txt_tokens = stems.add_time_feature(
+                    txt_tokens, batch["txt_time"], TXT_FEATURE_ID, demo)
+            enc_inputs.append(txt_tokens)
+            varying.append(batch["txt_length"].astype(jnp.int32) + 2)
+            use_pe.append(True)
+            mask.append(True)
+
+        n_mod = len(enc_inputs)
+        txt_idx = mods.index("txt") if "txt" in mods else -1
+        fusion = MBTFusion(
+            n_modality=n_mod,
+            bottlenecks_n=cfg.mbt_bottlenecks_n,
+            fusion_startidx=cfg.mbt_fusion_startidx,
+            n_layers=cfg.transformer_num_layers,
+            n_head=cfg.transformer_num_head,
+            d_model=cfg.transformer_dim,
+            d_ff=cfg.transformer_dim * 4,
+            dropout=cfg.dropout,
+            txt_idx=txt_idx,
+            vsltonly=cfg.mbt_only_vslt,
+            resbottle=cfg.residual_bottlenecks == 1,
+            use_pe=tuple(use_pe),
+            mask=tuple(mask),
+            dtype=dt,
+            name="fusion_transformer")
+        outputs = fusion(enc_inputs, varying, missing_num, deterministic)
+        return outputs, demo
+
+
+def _class_input(cfg: Config, cls_vec, demo, name_scope):
+    h = nn.LayerNorm(dtype=cls_vec.dtype, name=f"{name_scope}_ln")(cls_vec)
+    if cfg.vslt_type != "QIE":
+        h = jnp.concatenate([h, demo.astype(h.dtype)], axis=-1)
+    return h
+
+
+class TRI_MBT_VSLTCLS(nn.Module):
+    """Flagship: classify from the vslt cls token + demographics
+    (tri_mbt_vsltcls.py:248-255)."""
+    cfg: Config
+    share_umse: bool = True
+
+    @nn.compact
+    def __call__(self, batch, missing_num, deterministic: bool = True) -> ModelOutput:
+        cfg = self.cfg
+        outputs, demo = MBTBackbone(cfg, self.share_umse, name="backbone")(
+            batch, missing_num, deterministic)
+        x = _class_input(cfg, outputs[0][:, 0, :], demo, "after_concat")
+        rmse = None
+        if "rmse" in cfg.auxiliary_loss_type:
+            rmse = nn.Dense(1, dtype=x.dtype, name="rmse_layer")(x)[..., 0]
+        logits = ClsHead(cfg.transformer_dim, cfg.output_dim, cfg.activation,
+                         dtype=x.dtype, name="fc_list")(x, deterministic)
+        return logits[..., 0] if cfg.output_dim == 1 else logits, rmse, None
+
+
+class TRI_MBT_VSLTCLS_NOSHAREUMSE(TRI_MBT_VSLTCLS):
+    share_umse: bool = False
+
+
+class TRI_MBT_V1(nn.Module):
+    """Per-modality cls heads, missing-aware mean of logits
+    (tri_mbt_v1.py:269-280)."""
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, batch, missing_num, deterministic: bool = True) -> ModelOutput:
+        cfg = self.cfg
+        outputs, demo = MBTBackbone(cfg, name="backbone")(
+            batch, missing_num, deterministic)
+        stack = jnp.stack([o[:, 0, :] for o in outputs])          # [M, B, D]
+        stack = nn.LayerNorm(dtype=stack.dtype, name="after_concat_ln")(stack)
+        if cfg.vslt_type != "QIE":
+            demo_rep = jnp.broadcast_to(demo[None], (stack.shape[0],) + demo.shape)
+            stack = jnp.concatenate([stack, demo_rep.astype(stack.dtype)], axis=-1)
+        logits = ClsHead(cfg.transformer_dim, cfg.output_dim, cfg.activation,
+                         dtype=stack.dtype, name="fc_list")(
+                             stack, deterministic)[..., 0]        # [M, B]
+        W = jnp.array([[1 / 3, 1 / 3, 1 / 3], [1 / 2, 1 / 2, 0],
+                       [1 / 2, 0, 1 / 2], [1, 0, 0]], dtype=jnp.float32)
+        onehot = jax.nn.one_hot(missing_num, 4, dtype=jnp.float32)
+        mix = (onehot @ W).astype(logits.dtype)                   # [B, M]
+        out = jnp.einsum("bm,mb->b", mix, logits)
+        return out, None, None
+
+
+class TRI_MBT_VFLEXIBLE(nn.Module):
+    """Learned missing-aware cls weighting: a (3,1) parameter masked by the
+    available-modality pattern, softmaxed over modalities, weighting
+    per-modality logits (tri_mbt_vflexible.py:148,269-289)."""
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, batch, missing_num, deterministic: bool = True) -> ModelOutput:
+        cfg = self.cfg
+        outputs, demo = MBTBackbone(cfg, name="backbone")(
+            batch, missing_num, deterministic)
+        stack = jnp.stack([o[:, 0, :] for o in outputs])          # [3, B, D]
+        stack = nn.LayerNorm(dtype=stack.dtype, name="after_concat_ln")(stack)
+        if cfg.vslt_type != "QIE":
+            demo_rep = jnp.broadcast_to(demo[None], (3,) + demo.shape)
+            stack = jnp.concatenate([stack, demo_rep.astype(stack.dtype)], axis=-1)
+        logits = ClsHead(cfg.transformer_dim, cfg.output_dim, cfg.activation,
+                         dtype=stack.dtype, name="fc_list")(
+                             stack, deterministic)[..., 0]        # [3, B]
+        flexavg = self.param("flexibleavg", nn.initializers.zeros, (3, 1))
+        # availability masks per missing case (tri_mbt_vflexible.py:150-165):
+        # rows: tri, v+i, v+t, v; True = modality masked out of the softmax
+        avail_mask = jnp.array([[False, False, False],
+                                [False, False, True],
+                                [False, True, False],
+                                [False, True, True]])
+        m = avail_mask[missing_num]                               # [B, 3]
+        w = jnp.broadcast_to(flexavg, (3, logits.shape[1])).astype(jnp.float32)
+        w = jnp.where(m.T, -1e9, w)
+        cls_weight = jax.nn.softmax(w, axis=0).astype(logits.dtype)
+        weighted = logits * cls_weight                            # [3, B]
+        tri = jnp.sum(weighted, axis=0)
+        vi = weighted[0] + weighted[1]
+        vt = weighted[0] + weighted[2]
+        v = weighted[0]
+        cands = jnp.stack([tri, vi, vt, v])                       # [4, B]
+        onehot = jax.nn.one_hot(missing_num, 4, dtype=cands.dtype)
+        out = jnp.einsum("bk,kb->b", onehot, cands)
+        return out, None, None
+
+
+class TRI_MBT_VNOSHNOAVGTR(nn.Module):
+    """Three non-shared heads over per-modality cls tokens; the trainer
+    masks/averages them (trainer.py:169-174,223-230). Returns [3, B]."""
+    cfg: Config
+    avg_in_model: bool = False
+
+    @nn.compact
+    def __call__(self, batch, missing_num, deterministic: bool = True) -> ModelOutput:
+        cfg = self.cfg
+        outputs, demo = MBTBackbone(cfg, name="backbone")(
+            batch, missing_num, deterministic)
+        stack = jnp.stack([o[:, 0, :] for o in outputs])
+        stack = nn.LayerNorm(dtype=stack.dtype, name="after_concat_ln")(stack)
+        if cfg.vslt_type != "QIE":
+            demo_rep = jnp.broadcast_to(demo[None], (3,) + demo.shape)
+            stack = jnp.concatenate([stack, demo_rep.astype(stack.dtype)], axis=-1)
+        rmse = None
+        if "rmse" in cfg.auxiliary_loss_type:
+            rmse = nn.Dense(1, dtype=stack.dtype, name="rmse_layer")(stack)[..., 0]
+        logits = []
+        for m in range(3):
+            logits.append(ClsHead(cfg.transformer_dim, cfg.output_dim,
+                                  cfg.activation, dtype=stack.dtype,
+                                  name=f"fc_list_{m}")(stack[m], deterministic)[..., 0])
+        out = jnp.stack(logits)                                   # [3, B]
+        if self.avg_in_model:
+            tri = jnp.mean(out, axis=0)
+            vi = (out[0] + out[1]) / 2
+            vt = (out[0] + out[2]) / 2
+            cands = jnp.stack([tri, vi, vt, out[0]])
+            onehot = jax.nn.one_hot(missing_num, 4, dtype=cands.dtype)
+            return jnp.einsum("bk,kb->b", onehot, cands), rmse, None
+        return out, rmse, None
+
+
+class TRI_MBT_VNOSHAVGTR(TRI_MBT_VNOSHNOAVGTR):
+    avg_in_model: bool = True
+
+
+class MT_FUSION_MODEL(nn.Module):
+    """Concat-fusion baseline (tri_mt_v1 / biimg_mt_v1 / bitxt_mt_v1):
+    modality stacks -> joint stack over concatenated tokens, classify from
+    the final cls token."""
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, batch, missing_num, deterministic: bool = True) -> ModelOutput:
+        cfg = self.cfg
+        dt = model_dtype(cfg)
+        mods = cfg.input_types.split("_")
+        umse = UMSE(cfg.transformer_dim, cfg.vslt_type, cfg.berttype,
+                    cfg.imgtxt_time, cfg.vslt_len, dtype=dt, name="umse")
+        vslt_tokens, demo = umse.embed_vslt(batch["vslt"], batch["static"][:, 1],
+                                            batch["static"][:, 0])
+        enc_inputs = [vslt_tokens]
+        varying = [batch["input_length"].astype(jnp.int32)]
+        mask = [True]
+        if "img" in mods:
+            img_tokens = ImageEncoder(cfg, dtype=dt, name="img_enc")(
+                batch["img"], deterministic)
+            enc_inputs.append(img_tokens)
+            varying.append(jnp.full((img_tokens.shape[0],), img_tokens.shape[1],
+                                    dtype=jnp.int32))
+            mask.append(False)
+        if "txt" in mods:
+            txt_tokens = umse.embed_txt(batch["txt"])
+            if txt_tokens.ndim == 2:
+                txt_tokens = txt_tokens[:, None, :]
+            enc_inputs.append(txt_tokens)
+            varying.append(batch["txt_length"].astype(jnp.int32) + 1)
+            mask.append(True)
+        txt_idx = mods.index("txt") if "txt" in mods else -1
+        joint = MTFusion(n_modality=len(enc_inputs),
+                         fusion_startidx=cfg.mbt_fusion_startidx,
+                         n_layers=cfg.transformer_num_layers,
+                         n_head=cfg.transformer_num_head,
+                         d_model=cfg.transformer_dim,
+                         d_ff=cfg.transformer_dim * 4,
+                         dropout=cfg.dropout, txt_idx=txt_idx,
+                         mask=tuple(mask), dtype=dt,
+                         name="fusion_transformer")(enc_inputs, varying,
+                                                    deterministic)
+        x = _class_input(cfg, joint[:, 0, :], demo, "after_concat")
+        logits = ClsHead(cfg.transformer_dim, cfg.output_dim, cfg.activation,
+                         dtype=x.dtype, name="fc_list")(x, deterministic)
+        return logits[..., 0], None, None
+
+
+class UNIMODAL_TRANSFORMER(nn.Module):
+    """vslt-only UMSE -> encoder(+cls) -> cls+demo head
+    (unimodal_transformer.py:67-124)."""
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, batch, missing_num, deterministic: bool = True) -> ModelOutput:
+        cfg = self.cfg
+        dt = model_dtype(cfg)
+        umse = UMSE(cfg.transformer_dim, cfg.vslt_type, cfg.berttype,
+                    cfg.imgtxt_time, cfg.vslt_len, dtype=dt, name="umse")
+        tokens, demo = umse.embed_vslt(batch["vslt"], batch["static"][:, 1],
+                                       batch["static"][:, 0])
+        enc_out = TransformerEncoder(
+            d_input=cfg.transformer_dim,
+            n_layers=cfg.transformer_num_layers,
+            n_head=cfg.transformer_num_head,
+            d_model=cfg.transformer_dim,
+            d_ff=cfg.transformer_dim * 4,
+            dropout=cfg.dropout,
+            pe_maxlen=2000,
+            use_pe=(cfg.vslt_type == "carryforward"),
+            classification=True,
+            dtype=dt,
+            name="transformer_encoder")(
+                tokens, batch["input_length"].astype(jnp.int32) + 1,
+                deterministic)
+        x = _class_input(cfg, enc_out[:, 0, :], demo, "final")
+        logits = ClsHead(cfg.transformer_dim, cfg.output_dim, cfg.activation,
+                         dtype=x.dtype, name="fc_list")(x, deterministic)
+        return logits[..., 0], None, None

@@ -1,0 +1,193 @@
+"""Transformer primitives (flax.linen), numerically faithful to the
+reference's nonstandard details:
+
+* ``StdLayerNorm`` normalizes by the *standard deviation with Bessel's
+  correction* and adds eps to the std, not the variance — numerically
+  different from nn.LayerNorm (reference module.py:130-144).
+* attention scores are masked with -65504 (fp16-safe min) before softmax
+  (attention.py:35-41); fully-masked rows therefore softmax to uniform.
+* ``MultiHeadAttention`` has NO output projection — heads are concatenated
+  and returned directly (attention.py:65-84).
+* the FFN is the "conv1x1" variant: relu(W1 x) -> drop -> W2 -> drop
+  (module.py:57-80); a 1x1 Conv1d over tokens == per-token Dense.
+* q/k/v projections use xavier-uniform weights + zero bias
+  (module.py:113-127).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..constants import MASK_FILL_VALUE
+
+Dtype = jnp.dtype
+
+xavier_dense = lambda feats, name=None, dtype=jnp.float32: nn.Dense(
+    feats, kernel_init=nn.initializers.xavier_uniform(),
+    bias_init=nn.initializers.zeros, name=name, dtype=dtype)
+
+
+class StdLayerNorm(nn.Module):
+    """(x - mean) / (std + eps) * gamma + beta, std with Bessel correction."""
+    dim: int
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        n = xf.shape[-1]
+        var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / (n - 1)
+        std = jnp.sqrt(var)
+        out = (xf - mean) / (std + self.eps) * gamma + beta
+        return out.astype(self.dtype)
+
+
+def positional_encoding(length: int, d_model: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Sinusoidal PE table [1, length, d_model] (module.py:11-32)."""
+    position = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
+                       * -(math.log(10000.0) / d_model))
+    angles = position * div_term
+    pe = jnp.zeros((length, d_model), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angles))
+    pe = pe.at[:, 1::2].set(jnp.cos(angles))
+    return pe[None].astype(dtype)
+
+
+def length_key_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """bool [B, L]; True = key position masked (>= per-sample length).
+    Replaces the reference's python-loop mask builder
+    (transformer/utils.py:79-94) with a broadcasted iota compare."""
+    iota = jnp.arange(max_len)[None, :]
+    return iota >= lengths[:, None]
+
+
+def masked_softmax_attention(q, k, v, key_mask: Optional[jnp.ndarray],
+                             scale: float) -> jnp.ndarray:
+    """[B, H, Lq, Dh] x [B, H, Lk, Dh] with optional bool key mask [B, Lk].
+
+    XLA reference path; the Pallas fused kernel (kernels/attention.py) is a
+    drop-in replacement selected by ops dispatch.
+    """
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / scale
+    if key_mask is not None:
+        scores = jnp.where(key_mask[:, None, None, :], MASK_FILL_VALUE, scores)
+    attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
+
+# set by ops dispatch; see medical_tri_modal_pilot_tpu/ops/__init__.py
+_ATTENTION_IMPL: Callable = masked_softmax_attention
+
+
+def set_attention_impl(fn: Callable) -> None:
+    global _ATTENTION_IMPL
+    _ATTENTION_IMPL = fn
+
+
+def get_attention_impl() -> Callable:
+    return _ATTENTION_IMPL
+
+
+class MultiHeadAttention(nn.Module):
+    dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, key_mask: Optional[jnp.ndarray] = None):
+        d_head = self.dim // self.num_heads
+        B, Lq, _ = query.shape
+        Lk = key.shape[1]
+        q = xavier_dense(self.dim, "query_proj", self.dtype)(query)
+        k = xavier_dense(self.dim, "key_proj", self.dtype)(key)
+        v = xavier_dense(self.dim, "value_proj", self.dtype)(value)
+        q = q.reshape(B, Lq, self.num_heads, d_head).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Lk, self.num_heads, d_head).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Lk, self.num_heads, d_head).transpose(0, 2, 1, 3)
+        ctx = _ATTENTION_IMPL(q, k, v, key_mask, math.sqrt(d_head))
+        return ctx.transpose(0, 2, 1, 3).reshape(B, Lq, self.dim)
+
+
+class FeedForward(nn.Module):
+    """relu(W1 x) -> drop -> W2 -> drop (FeedForwardUseConv, module.py:74-80).
+    Conv1d with kernel 1 == Dense; torch Conv1d default init is
+    kaiming-uniform — Dense default init is fine for a re-train."""
+    d_model: int
+    d_ff: int
+    dropout_p: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.relu(nn.Dense(self.d_ff, dtype=self.dtype, name="w_1")(x))
+        h = nn.Dropout(self.dropout_p)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="w_2")(h)
+        return nn.Dropout(self.dropout_p)(h, deterministic=deterministic)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre-norm block: LN -> MHA -> +res; LN -> FFN -> +res
+    (encoder.py:8-34). No dropout on the attention path."""
+    d_model: int
+    num_heads: int
+    d_ff: int
+    dropout_p: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
+        h = StdLayerNorm(self.d_model, dtype=self.dtype, name="attention_prenorm")(x)
+        h = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype,
+                               name="self_attention")(h, h, h, key_mask)
+        x = x + h
+        h = StdLayerNorm(self.d_model, dtype=self.dtype, name="feed_forward_prenorm")(x)
+        h = FeedForward(self.d_model, self.d_ff, self.dropout_p,
+                        dtype=self.dtype, name="feed_forward")(h, deterministic)
+        return x + h
+
+
+class CrossmodalTransformerEncoderLayer(nn.Module):
+    """q/kv pre-norm cross-attention block (encoder.py:251-278)."""
+    d_model: int
+    num_heads: int
+    d_ff: int
+    dropout_p: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, key_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
+        q = StdLayerNorm(self.d_model, dtype=self.dtype, name="attention_prenorm_q")(q_in)
+        kv = StdLayerNorm(self.d_model, dtype=self.dtype, name="attention_prenorm_kv")(kv_in)
+        h = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype,
+                               name="self_attention")(q, kv, kv, key_mask)
+        x = q_in + h
+        h = StdLayerNorm(self.d_model, dtype=self.dtype, name="feed_forward_prenorm")(x)
+        h = FeedForward(self.d_model, self.d_ff, self.dropout_p,
+                        dtype=self.dtype, name="feed_forward")(h, deterministic)
+        return x + h
+
+
+class MLPStem(nn.Module):
+    """Dense -> LayerNorm -> ReLU, the UMSE input-embedding stem shape
+    (tri_mbt_vsltcls.py:61-76). Uses standard LayerNorm (the reference stems
+    use torch nn.LayerNorm, not the custom one)."""
+    d_model: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.d_model, dtype=self.dtype)(x)
+        h = nn.LayerNorm(dtype=self.dtype)(h)
+        return nn.relu(h)

@@ -1,0 +1,60 @@
+"""Model registry: --model name -> constructor (reference
+builder/models/__init__.py:14-51 imports 8_missing_models.<name> and
+returns class <NAME-UPPERCASED>).
+
+Every live registry name is mapped; several reference files are minor
+wiring variants of the same core (v1/v2/v3, flexible/flexible2/flexible3),
+mapped to the shared implementation. mt_v1 is dead in the reference
+(undefined MultimodalTransformerEncoder) and intentionally absent here.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from ..config import Config
+from . import models as M
+
+_REGISTRY: Dict[str, Callable] = {
+    # flagship + variants
+    "tri_mbt_vsltcls": M.TRI_MBT_VSLTCLS,
+    "tri_mbt_vsltcls_noshareumse": M.TRI_MBT_VSLTCLS_NOSHAREUMSE,
+    "tri_mbt_v1": M.TRI_MBT_V1,
+    "tri_mbt_v2": M.TRI_MBT_V1,
+    "tri_mbt_v3": M.TRI_MBT_V1,
+    "tri_mbt_vflexible": M.TRI_MBT_VFLEXIBLE,
+    "tri_mbt_vflexible2": M.TRI_MBT_VFLEXIBLE,
+    "tri_mbt_vflexible3": M.TRI_MBT_VFLEXIBLE,
+    "tri_mbt_vnoshavgtr": M.TRI_MBT_VNOSHAVGTR,
+    "tri_mbt_vnoshnoavgtr": M.TRI_MBT_VNOSHNOAVGTR,
+    # bimodal counterparts of the flagship (reference files are broken —
+    # see models.py module docstring — implemented functionally)
+    "biimg_mbt_vsltcls": M.TRI_MBT_VSLTCLS,
+    "bitxt_mbt_vsltcls": M.TRI_MBT_VSLTCLS,
+    "bi_vsltimg_mbt_v1": M.TRI_MBT_V1,
+    "bi_vslttxt_mbt_v1": M.TRI_MBT_V1,
+    "biimg_mbt_vflexible1": M.TRI_MBT_VFLEXIBLE,
+    "bitxt_mbt_vflexible1": M.TRI_MBT_VFLEXIBLE,
+    # concat-fusion baselines
+    "tri_mt_v1": M.MT_FUSION_MODEL,
+    "biimg_mt_v1": M.MT_FUSION_MODEL,
+    "bitxt_mt_v1": M.MT_FUSION_MODEL,
+    # unimodal
+    "unimodal_transformer": M.UNIMODAL_TRANSFORMER,
+}
+
+
+def get_model(cfg: Config):
+    """Instantiate the flax module for cfg.model."""
+    name = cfg.model
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown model '{name}'; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](cfg)
+
+
+def available_models():
+    return sorted(_REGISTRY)
+
+
+def register(name: str, ctor: Callable) -> None:
+    _REGISTRY[name] = ctor

@@ -1,0 +1,199 @@
+"""Swin-T image encoder (flax, NHWC, channels-last TPU layout).
+
+Functional equivalent of the reference's modified torchvision copy
+(src/swin_transformer.py): swin_t geometry (patch 4, window 7, depths
+[2,2,6,2], heads [3,6,12,24], embed 96), with the forward truncated to
+return the pre-pool feature map [B, 7, 7, 768]
+(swin_transformer.py:611-618 — head/avgpool removed).
+
+Differences from torchvision (deliberate): 1-channel stem by default — the
+pipeline emits grayscale CXRs ([B,1,H,W], dataset_new.py comment at
+tri_mbt_vsltcls.py:171) while torchvision's stem is 3-channel and the
+reference papers over it with an internal checkpoint we don't have
+(tri_mbt_vsltcls.py:95-100). Window-shift attention masks are computed
+statically with numpy at trace time.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..constants import MASK_FILL_VALUE
+
+
+def _rel_position_index(window: int) -> np.ndarray:
+    """[(W*W), (W*W)] index into the (2W-1)^2 bias table."""
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window),
+                                  indexing="ij"))            # [2, W, W]
+    flat = coords.reshape(2, -1)                              # [2, W*W]
+    rel = flat[:, :, None] - flat[:, None, :]                 # [2, N, N]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    return rel.sum(-1)                                        # [N, N]
+
+
+def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
+    """bool [nW, N, N]; True = masked. Standard shifted-window mask."""
+    img_mask = np.zeros((h, w))
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img_mask[hs, ws] = cnt
+            cnt += 1
+    mw = img_mask.reshape(h // window, window, w // window, window)
+    mw = mw.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    return mw[:, :, None] != mw[:, None, :]
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window: int
+    shift: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, H, W, C]
+        B, H, Wd, C = x.shape
+        win, shift = self.window, self.shift
+        nh, dh = self.num_heads, self.dim // self.num_heads
+
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+
+        nH, nW = H // win, Wd // win
+        xw = x.reshape(B, nH, win, nW, win, C).transpose(0, 1, 3, 2, 4, 5)
+        xw = xw.reshape(B * nH * nW, win * win, C)
+
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(xw)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        N = win * win
+        q = q.reshape(-1, N, nh, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(-1, N, nh, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(-1, N, nh, dh).transpose(0, 2, 1, 3)
+
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * win - 1) ** 2, nh))
+        rel_idx = _rel_position_index(win)
+        bias = bias_table[rel_idx.reshape(-1)].reshape(N, N, nh)
+        bias = bias.transpose(2, 0, 1)[None]                  # [1, nh, N, N]
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(dh) + bias.astype(scores.dtype)
+        if shift > 0:
+            smask = jnp.asarray(_shift_attn_mask(H, Wd, win, shift))  # [nWt,N,N]
+            scores = scores.reshape(B, nH * nW, nh, N, N)
+            scores = jnp.where(smask[None, :, None], MASK_FILL_VALUE, scores)
+            scores = scores.reshape(B * nH * nW, nh, N, N)
+        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(-1, N, self.dim)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+        out = out.reshape(B, nH, nW, win, win, C).transpose(0, 1, 3, 2, 4, 5)
+        out = out.reshape(B, H, Wd, C)
+        if shift > 0:
+            out = jnp.roll(out, (shift, shift), axis=(1, 2))
+        return out
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window: int
+    shift: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = WindowAttention(self.dim, self.num_heads, self.window, self.shift,
+                            self.dtype, name="attn")(h)
+        x = x + h
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_fc1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        return x + h
+
+
+class PatchMerging(nn.Module):
+    dim: int  # input channel dim
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C] -> [B, H/2, W/2, 2C]
+        B, H, W, C = x.shape
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, H // 2, W // 2, 4 * C)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                        name="reduction")(x)
+
+
+class SwinTransformer(nn.Module):
+    """swin_t geometry; returns the pre-pool [B, H/32, W/32, 768] map."""
+    in_channels: int = 1
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window: int = 7
+    patch_size: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        # accepts [B, C, H, W] (pipeline layout) or [B, H, W, C]
+        if x.shape[1] in (1, 3) and x.shape[-1] not in (1, 3):
+            x = x.transpose(0, 2, 3, 1)
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    dtype=self.dtype, name="patch_embed")(x.astype(self.dtype))
+        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        dim = self.embed_dim
+        for si, depth in enumerate(self.depths):
+            for bi in range(depth):
+                shift = 0 if bi % 2 == 0 else self.window // 2
+                x = SwinBlock(dim, self.num_heads[si], self.window, shift,
+                              dtype=self.dtype, name=f"stage{si}_block{bi}")(
+                                  x, deterministic)
+            if si < len(self.depths) - 1:
+                x = PatchMerging(dim, dtype=self.dtype, name=f"merge{si}")(x)
+                dim *= 2
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+
+
+class PatchEmbed(nn.Module):
+    """monai PatchEmbeddingBlock analog (tri_mbt_vsltcls.py:107-116):
+    conv patch embedding + learnable positions -> [B, N, hidden]."""
+    img_size: int = 224
+    patch_size: int = 16
+    hidden: int = 256
+    in_channels: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if x.shape[1] in (1, 3) and x.shape[-1] not in (1, 3):
+            x = x.transpose(0, 2, 3, 1)
+        x = nn.Conv(self.hidden, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    dtype=self.dtype, name="proj")(x.astype(self.dtype))
+        B, H, W, C = x.shape
+        x = x.reshape(B, H * W, C)
+        pos = self.param("pos_embed", nn.initializers.truncated_normal(0.02),
+                         (1, (self.img_size // self.patch_size) ** 2, self.hidden))
+        return x + pos.astype(self.dtype)

@@ -1,0 +1,17 @@
+"""Compute-op dispatch: selects the Pallas fused kernels or the XLA
+reference implementations for the model hot loops."""
+from __future__ import annotations
+
+from ..models import modules as _modules
+
+
+def configure(use_pallas: bool) -> None:
+    if use_pallas:
+        from ..kernels.attention import pallas_masked_attention
+        _modules.set_attention_impl(pallas_masked_attention)
+    else:
+        _modules.set_attention_impl(_modules.masked_softmax_attention)
+
+
+def current_attention_impl():
+    return _modules.get_attention_impl()

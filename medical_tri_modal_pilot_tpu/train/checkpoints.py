@@ -1,0 +1,66 @@
+"""Checkpoint save/load keeping the reference's directory contract
+(logger.py:166-177): single-file checkpoints named
+``{dir_result}/{project}/ckpts/{best,last}_fold{k}_seed{s}.pth`` holding
+{'model','optimizer','best_step','last_step','score','epoch'} — here the
+model/optimizer entries are numpy pytrees (no torch)."""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def ckpt_path(dir_result: str, project: str, kind: str, fold, seed) -> str:
+    return os.path.join(dir_result, project, "ckpts",
+                        f"{kind}_fold{fold}_seed{seed}.pth")
+
+
+def save_checkpoint(path: str, state, score: float, epoch: int,
+                    best_step: int = 0, last_step: int = 0) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = {
+        "model": _to_numpy({"params": state.params,
+                            "batch_stats": state.batch_stats}),
+        "optimizer": _to_numpy(state.opt_state),
+        "best_step": best_step,
+        "last_step": last_step,
+        "score": float(score),
+        "epoch": int(epoch),
+        "step": int(state.step),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def restore_into_state(state, payload: Dict[str, Any], with_optimizer: bool = True):
+    """Rebuild a TrainState from a checkpoint payload, preserving shardings
+    of the template ``state``."""
+    import jax.numpy as jnp
+    model = payload["model"]
+
+    def put_like(tmpl, val):
+        return jax.tree.map(
+            lambda t, v: jax.device_put(jnp.asarray(v), t.sharding)
+            if hasattr(t, "sharding") else jnp.asarray(v), tmpl, val)
+
+    new = state.replace(
+        params=put_like(state.params, model["params"]),
+        batch_stats=put_like(state.batch_stats, model["batch_stats"]),
+        step=jnp.asarray(payload.get("step", 0), jnp.int32))
+    if with_optimizer and payload.get("optimizer") is not None:
+        new = new.replace(opt_state=put_like(state.opt_state, payload["optimizer"]))
+    return new

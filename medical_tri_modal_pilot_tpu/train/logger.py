@@ -1,0 +1,132 @@
+"""Experiment logging + best-checkpoint tracking (reference
+builder/utils/logger.py:31-217 and utils.py:75-86).
+
+Scalars go to a JSONL event file (and TensorBoard when tensorboardX is
+importable — it isn't baked into this image); the full config snapshot is
+written to settings.txt with the reference's "key # value" format; best
+model selection anchors on val AUROC + AUPRC (logger.py:115-118)."""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Optional
+
+from ..config import Config
+from .checkpoints import ckpt_path, save_checkpoint
+from .metrics import Evaluator
+
+
+def make_setting_file(cfg: Config) -> None:
+    log_dir = os.path.join(cfg.dir_result, cfg.project_name)
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "settings.txt"), "w") as f:
+        for k, v in dataclasses.asdict(cfg).items():
+            f.write(f"{k} # {v}\n")
+
+
+class Logger:
+    def __init__(self, cfg: Config, fold: int = 0, seed: Optional[int] = None):
+        self.cfg = cfg
+        self.fold = fold
+        self.seed = cfg.seed if seed is None else seed
+        self.dir_log = os.path.join(cfg.dir_result, cfg.project_name,
+                                    f"logs_{fold}")
+        self.dir_save = os.path.join(cfg.dir_result, cfg.project_name)
+        os.makedirs(self.dir_log, exist_ok=True)
+        self.evaluator = Evaluator()
+        self.loss = 0.0
+        self.val_loss = 0.0
+        self.best_score = 0.0
+        self.best_auc = 0.0
+        self.best_iter = 0
+        self.val_results = None
+        self.test_results = None
+        self._events = open(os.path.join(self.dir_log, "events.jsonl"), "a")
+        self._tb = None
+        try:
+            from tensorboardX import SummaryWriter  # optional
+            self._tb = SummaryWriter(logdir=self.dir_log)
+        except Exception:
+            pass
+
+    def log_scalar(self, tag: str, value: float, step: int) -> None:
+        self._events.write(json.dumps(
+            {"t": time.time(), "tag": tag, "value": float(value),
+             "step": int(step)}) + "\n")
+        self._events.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
+    def log_train(self, loss: float, lr: float, step: int) -> None:
+        self.log_scalar("train/loss", loss, step)
+        self.log_scalar("train/lr", lr, step)
+
+    def add_validation_logs(self, step: int, val_loss: float):
+        m = self.evaluator.performance_metric()
+        self.log_scalar("val/loss", val_loss, step)
+        for k in ("auc", "apr", "f1"):
+            self.log_scalar(f"val/{k}", m[k], step)
+        self.val_results = m
+        print(f"[val @ {step}] loss={val_loss:.4f} auc={m['auc']:.4f} "
+              f"apr={m['apr']:.4f} f1={m['f1']:.4f}")
+        return m
+
+    def save(self, state, step: int, epoch: int) -> bool:
+        """Save 'last'; promote to 'best' when auc+apr improves
+        (logger.py:115-127,166-177). Returns True if best improved."""
+        m = self.val_results or {"auc": 0.0, "apr": 0.0}
+        score = (m["auc"] or 0.0) + (m["apr"] or 0.0)
+        last = ckpt_path(self.cfg.dir_result, self.cfg.project_name, "last",
+                         self.fold, self.seed)
+        save_checkpoint(last, state, score, epoch, self.best_iter, step)
+        if score > self.best_score:
+            self.best_score = score
+            self.best_auc = m["auc"] or 0.0
+            self.best_iter = step
+            best = ckpt_path(self.cfg.dir_result, self.cfg.project_name,
+                             "best", self.fold, self.seed)
+            save_checkpoint(best, state, score, epoch, step, step)
+            return True
+        return False
+
+    def test_result_only(self):
+        m = self.evaluator.performance_metric()
+        self.test_results = m
+        print(f"[test] auc={m['auc']:.4f} apr={m['apr']:.4f} f1={m['f1']:.4f}")
+        return m
+
+    def val_result_only(self):
+        return self.val_results
+
+    def close(self):
+        self._events.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+class ResultsAggregator:
+    """mean/std across seeds/folds (result_utils.py:7-128)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.rows = []
+
+    def add(self, metrics: Dict[str, float]):
+        if metrics:
+            self.rows.append(metrics)
+
+    def summarize(self):
+        import numpy as np
+        if not self.rows:
+            print(f"[{self.name}] no results")
+            return {}
+        out = {}
+        for k in ("auc", "apr", "f1"):
+            vals = np.array([r[k] for r in self.rows if r.get(k) == r.get(k)])
+            if len(vals):
+                out[k] = (float(vals.mean()), float(vals.std()))
+        print(f"[{self.name}] " + "  ".join(
+            f"{k}={m:.4f}±{s:.4f}" for k, (m, s) in out.items()))
+        return out

@@ -1,0 +1,250 @@
+"""Jitted train/eval step functions + optimizer wiring.
+
+Replaces the reference's per-batch ``missing_trainer``
+(builder/trainer/trainer.py:20-242) with two compiled functions over a
+data-parallel mesh: ``train_step`` (loss -> grads -> AdamW update with the
+cosine-restart schedule inlined) and ``eval_step`` (deterministic forward +
+sigmoid + model-specific output selection). The per-sample missing-code
+computation (trainer.py:53-105, a torch.unique host trick) reduces to
+``2*img_missing + txt_missing`` with bimodal remaps, computed in-graph.
+
+Buffers are donated; params/opt state live replicated on the mesh and the
+batch is sharded on the ``data`` axis — XLA inserts the gradient psum over
+ICI.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..config import Config
+from ..parallel.mesh import (batch_sharding, make_mesh, replicated_sharding,
+                             shard_batch)
+from .schedule import cosine_annealing_warmup_restarts, cosine_warmup_single
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def compute_missing_num(cfg: Config, missing: jnp.ndarray) -> jnp.ndarray:
+    """missing: [B, 3] floats (vslt, img, txt; 1 = missing) ->
+    canonical candidate index (trainer.py:53-105)."""
+    img = missing[:, 1].astype(jnp.int32)
+    txt = missing[:, 2].astype(jnp.int32)
+    if cfg.input_types == "vslt_img_txt":
+        return 2 * img + txt
+    if cfg.input_types == "vslt_img":
+        return img
+    if cfg.input_types == "vslt_txt":
+        return txt
+    return jnp.zeros_like(img)
+
+
+# (4, B) membership masks used by the "multi" models' training loss
+# (trainer.py:78-84): rows = candidate subsets, 1 = subset invalid for the
+# sample's missing case.
+_MULTITOKEN_MISSING = np.array([
+    [0., 0., 0., 0.],
+    [1., 0., 1., 0.],
+    [1., 1., 0., 0.],
+    [1., 1., 1., 0.],
+], dtype=np.float32)
+
+
+def build_schedule(cfg: Config, iters_per_epoch: int) -> Callable:
+    max_lr = cfg.lr_init * math.sqrt(cfg.batch_size)
+    if cfg.lr_scheduler == "CosineAnnealing":
+        return cosine_annealing_warmup_restarts(
+            first_cycle_steps=max(cfg.t_0 * iters_per_epoch, 2),
+            max_lr=max_lr, min_lr=1e-6,
+            warmup_steps=cfg.t_up * iters_per_epoch,
+            gamma=cfg.gamma, cycle_mult=float(cfg.t_mult))
+    return cosine_warmup_single(
+        total_steps=max(cfg.epochs * iters_per_epoch, 2), max_lr=max_lr,
+        min_lr=1e-6, warmup_steps=cfg.t_up * iters_per_epoch)
+
+
+def build_optimizer(cfg: Config, schedule: Callable) -> optax.GradientTransformation:
+    kind = cfg.optim.replace("_lars", "")
+    if kind == "adamw":
+        tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    elif kind == "adam":
+        tx = optax.adam(schedule)
+    else:
+        tx = optax.sgd(schedule, momentum=cfg.momentum)
+    if cfg.optim.endswith("_lars"):
+        # LARC trust-ratio clipping (builder/utils/lars.py:5-101)
+        tx = optax.chain(optax.scale_by_trust_ratio(), tx)
+    return tx
+
+
+def _bce(logits, targets):
+    return optax.sigmoid_binary_cross_entropy(logits, targets)
+
+
+def compute_loss(cfg: Config, logits, rmse, targets, targets_aux,
+                 missing, missing_num):
+    """Model/loss-type dispatch (trainer.py:164-184)."""
+    if cfg.model_types == "classification":
+        if cfg.loss_types == "softmax":
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, targets.astype(jnp.int32)).mean()
+        if cfg.loss_types == "bces":
+            return _bce(logits, targets).mean()
+        if cfg.loss_types == "bceandsoftmax":
+            return (optax.softmax_cross_entropy_with_integer_labels(
+                logits, targets.astype(jnp.int32)).mean()
+                + _bce(logits, targets_aux).mean())
+        if cfg.loss_types == "rmse":
+            return jnp.sqrt(jnp.mean((logits - targets) ** 2) + 1e-12)
+        return _bce(logits, targets).mean()
+
+    # detection
+    if "multi" in cfg.model:
+        # logits [4, B]; mask out invalid subsets per sample
+        tgt = jnp.broadcast_to(targets[None], logits.shape)
+        w = 1.0 - _MULTITOKEN_MISSING.T[:, missing_num]          # [4, B]
+        losses = _bce(logits, tgt)
+        return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+    if "mbt_vnoshnoavgtr" in cfg.model:
+        # logits [3, B]; train each non-missing modality head
+        tgt = jnp.broadcast_to(targets[None], logits.shape)
+        w = 1.0 - missing.T                                       # [3, B]
+        losses = _bce(logits, tgt)
+        return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+    loss = _bce(logits, targets).mean()
+    if rmse is not None and "rmse" in cfg.auxiliary_loss_type:
+        err = (rmse - targets_aux) ** 2
+        pos = targets == 1
+        rmse_loss = jnp.sqrt(
+            jnp.sum(jnp.where(pos, err, 0.0)) / jnp.maximum(pos.sum(), 1))
+        loss = loss + jnp.nan_to_num(rmse_loss)
+    return loss
+
+
+def select_eval_output(cfg: Config, logits, missing_num):
+    """Eval-time output selection (trainer.py:218-230)."""
+    if "multi" in cfg.model:
+        return jnp.take_along_axis(logits, missing_num[None], axis=0)[0]
+    if "mbt_vnoshnoavgtr" in cfg.model:
+        tri = jnp.mean(logits, axis=0)
+        vi = (logits[0] + logits[1]) / 2
+        vt = (logits[0] + logits[2]) / 2
+        cands = jnp.stack([tri, vi, vt, logits[0]])
+        onehot = jax.nn.one_hot(missing_num, 4, dtype=cands.dtype)
+        return jnp.einsum("bk,kb->b", onehot, cands)
+    return logits
+
+
+class Trainer:
+    """Owns the mesh, the compiled step functions, and the train state."""
+
+    def __init__(self, cfg: Config, model, iters_per_epoch: int,
+                 sample_batch: Dict[str, np.ndarray], seed: int = 0):
+        self.cfg = cfg
+        self.model = model
+        self.mesh = make_mesh(cfg.dp_size)
+        self.schedule = build_schedule(cfg, max(iters_per_epoch, 1))
+        self.tx = build_optimizer(cfg, self.schedule)
+        self._rng = jax.random.PRNGKey(seed)
+
+        batch = self._device_batch(sample_batch)
+        missing_num = compute_missing_num(cfg, batch["missing"])
+        init_rng, self._rng = jax.random.split(self._rng)
+        variables = jax.jit(
+            self.model.init, static_argnums=(3,))(
+                {"params": init_rng, "dropout": init_rng},
+                batch, missing_num, True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        rep = replicated_sharding(self.mesh)
+        params = jax.device_put(params, rep)
+        batch_stats = jax.device_put(batch_stats, rep)
+        self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                                batch_stats=batch_stats,
+                                opt_state=jax.device_put(self.tx.init(params), rep))
+
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch: Dict[str, np.ndarray]):
+        return shard_batch(self.mesh, batch)
+
+    def _apply(self, params, batch_stats, batch, missing_num, deterministic,
+               rng=None):
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = {}
+        if not deterministic:
+            kwargs["rngs"] = {"dropout": rng}
+            out, mutated = self.model.apply(
+                variables, batch, missing_num, False,
+                mutable=["batch_stats"], **kwargs)
+            return out, mutated.get("batch_stats", batch_stats)
+        out = self.model.apply(variables, batch, missing_num, True)
+        return out, batch_stats
+
+    def _train_step_impl(self, state: TrainState, batch, rng):
+        cfg = self.cfg
+        missing_num = compute_missing_num(cfg, batch["missing"])
+
+        def loss_fn(params):
+            (logits, rmse, _aux), new_bs = self._apply(
+                params, state.batch_stats, batch, missing_num, False, rng)
+            loss = compute_loss(cfg, logits.astype(jnp.float32),
+                                None if rmse is None else rmse.astype(jnp.float32),
+                                batch["target"], batch["target_aux"],
+                                batch["missing"], missing_num)
+            return loss, new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        # reference steps the scheduler with the 1-based iteration count
+        # (2_train.py:190); optax's count matches after the update below.
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_bs, opt_state=new_opt)
+        return new_state, loss
+
+    def _eval_step_impl(self, state: TrainState, batch):
+        cfg = self.cfg
+        missing_num = compute_missing_num(cfg, batch["missing"])
+        (logits, rmse, _aux), _ = self._apply(
+            state.params, state.batch_stats, batch, missing_num, True)
+        logits = logits.astype(jnp.float32)
+        loss = compute_loss(cfg, logits,
+                            None if rmse is None else rmse.astype(jnp.float32),
+                            batch["target"], batch["target_aux"],
+                            batch["missing"], missing_num)
+        out = select_eval_output(cfg, logits, missing_num)
+        probs = jax.nn.sigmoid(out)
+        return probs, loss
+
+    # ------------------------------------------------------------------
+    def train_step(self, batch: Dict[str, np.ndarray]) -> float:
+        rng, self._rng = jax.random.split(self._rng)
+        dbatch = self._device_batch(batch)
+        self.state, loss = self._train_step(self.state, dbatch, rng)
+        return loss
+
+    def eval_step(self, batch: Dict[str, np.ndarray]):
+        dbatch = self._device_batch(batch)
+        probs, loss = self._eval_step(self.state, dbatch)
+        return np.asarray(probs), float(loss)
+
+    def current_lr(self) -> float:
+        return float(self.schedule(self.state.step))

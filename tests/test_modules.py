@@ -1,0 +1,127 @@
+"""Numerical parity of the flax primitives against the reference's torch
+modules (executed from /root/reference via tests/ref_shim, CPU)."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from medical_tri_modal_pilot_tpu.models.modules import (
+    FeedForward, MultiHeadAttention, StdLayerNorm, TransformerEncoderLayer,
+    length_key_mask, masked_softmax_attention, positional_encoding)
+
+from ref_shim import import_reference
+
+ARGV = ["--input-types", "vslt", "--output-type", "mortality",
+        "--train-data-path", "/root/reference/data/sample_data/train",
+        "--test-data-path", "/root/reference/data/sample_data/test"]
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return import_reference(ARGV)
+
+
+def t2n(t):
+    return t.detach().numpy()
+
+
+def test_std_layernorm_matches_reference(ref):
+    from builder.models.src.transformer.module import LayerNorm as RefLN
+    x = np.random.default_rng(0).normal(size=(4, 7, 256)).astype(np.float32)
+    ref_ln = RefLN(256)
+    ours = StdLayerNorm(256)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = ours.apply(params, jnp.asarray(x))
+    expected = t2n(ref_ln(torch.tensor(x)))
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_positional_encoding_matches_reference(ref):
+    from builder.models.src.transformer.module import PositionalEncoding
+    pe_ref = PositionalEncoding(256, max_len=512)
+    ours = positional_encoding(100, 256)
+    np.testing.assert_allclose(np.asarray(ours),
+                               t2n(pe_ref(100)), atol=1e-5)
+
+
+def _copy_linear(torch_linear, name, params):
+    params[name] = {"kernel": jnp.asarray(t2n(torch_linear.weight).T),
+                    "bias": jnp.asarray(t2n(torch_linear.bias))}
+
+
+def test_mha_matches_reference(ref):
+    from builder.models.src.transformer.attention import MultiHeadAttention as RefMHA
+    torch.manual_seed(0)
+    d, h, B, L = 256, 4, 3, 17
+    ref_mha = RefMHA(d, h)
+    x = np.random.default_rng(1).normal(size=(B, L, d)).astype(np.float32)
+    lengths = np.array([17, 5, 0])
+    mask_np = np.arange(L)[None, :] >= lengths[:, None]     # [B, L]
+    # reference takes a (B, Lq, Lk) bool mask
+    ref_mask = torch.tensor(np.broadcast_to(mask_np[:, None, :], (B, L, L)).copy())
+    ref_out, _ = ref_mha(torch.tensor(x), torch.tensor(x), torch.tensor(x), ref_mask)
+
+    ours = MultiHeadAttention(d, h)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(x),
+                       jnp.asarray(x))
+    p = dict(params["params"])
+    _copy_linear(ref_mha.query_proj.linear, "query_proj", p)
+    _copy_linear(ref_mha.key_proj.linear, "key_proj", p)
+    _copy_linear(ref_mha.value_proj.linear, "value_proj", p)
+    out = ours.apply({"params": p}, jnp.asarray(x), jnp.asarray(x),
+                     jnp.asarray(x), jnp.asarray(mask_np))
+    np.testing.assert_allclose(np.asarray(out), t2n(ref_out), atol=2e-5)
+
+
+def test_encoder_layer_matches_reference(ref):
+    from builder.models.src.transformer.encoder import TransformerEncoderLayer as RefLayer
+    torch.manual_seed(0)
+    d, h, B, L = 256, 4, 2, 13
+    ref_layer = RefLayer(d_model=d, num_heads=h, d_ff=4 * d, dropout_p=0.0)
+    ref_layer.eval()
+    x = np.random.default_rng(2).normal(size=(B, L, d)).astype(np.float32)
+    lengths = np.array([13, 6])
+    mask_np = np.arange(L)[None, :] >= lengths[:, None]
+    ref_mask = torch.tensor(np.broadcast_to(mask_np[:, None, :], (B, L, L)).copy())
+    with torch.no_grad():
+        ref_out, _ = ref_layer(torch.tensor(x), ref_mask)
+
+    ours = TransformerEncoderLayer(d, h, 4 * d, dropout_p=0.0)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = jax.tree.map(lambda v: v, dict(params["params"]))
+    p["attention_prenorm"] = {"gamma": jnp.asarray(t2n(ref_layer.attention_prenorm.gamma)),
+                              "beta": jnp.asarray(t2n(ref_layer.attention_prenorm.beta))}
+    p["feed_forward_prenorm"] = {"gamma": jnp.asarray(t2n(ref_layer.feed_forward_prenorm.gamma)),
+                                 "beta": jnp.asarray(t2n(ref_layer.feed_forward_prenorm.beta))}
+    sa = dict(p["self_attention"])
+    _copy_linear(ref_layer.self_attention.query_proj.linear, "query_proj", sa)
+    _copy_linear(ref_layer.self_attention.key_proj.linear, "key_proj", sa)
+    _copy_linear(ref_layer.self_attention.value_proj.linear, "value_proj", sa)
+    p["self_attention"] = sa
+    # conv1x1 FFN: torch Conv1d weight [out, in, 1] -> Dense kernel [in, out]
+    ff = dict(p["feed_forward"])
+    ff["w_1"] = {"kernel": jnp.asarray(t2n(ref_layer.feed_forward.w_1.weight)[:, :, 0].T),
+                 "bias": jnp.asarray(t2n(ref_layer.feed_forward.w_1.bias))}
+    ff["w_2"] = {"kernel": jnp.asarray(t2n(ref_layer.feed_forward.w_2.weight)[:, :, 0].T),
+                 "bias": jnp.asarray(t2n(ref_layer.feed_forward.w_2.bias))}
+    p["feed_forward"] = ff
+    out = ours.apply({"params": p}, jnp.asarray(x), jnp.asarray(mask_np),
+                     True)
+    np.testing.assert_allclose(np.asarray(out), t2n(ref_out), atol=5e-5)
+
+
+def test_fully_masked_row_is_uniform_average():
+    # -65504 fill => fully-masked rows softmax to uniform (attention.py:38)
+    B, H, L, D = 1, 2, 8, 16
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (B, H, L, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, D))
+    mask = length_key_mask(jnp.array([0]), L)
+    out = masked_softmax_attention(q, k, v, mask, math.sqrt(D))
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]),
+                               np.asarray(v[0, 0].mean(0)), atol=1e-5)
