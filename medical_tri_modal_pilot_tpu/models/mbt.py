@@ -117,7 +117,8 @@ class MBTFusion(nn.Module):
         W = jnp.asarray(missing_candidate_weights(M), dtype=jnp.float32)
         onehot = jax.nn.one_hot(missing_num, W.shape[0], dtype=jnp.float32)
         # per-sample mixing coefficients over modalities: [B, M]
-        mix = onehot @ W
+        mix = jnp.einsum('bk,km->bm', onehot, W,
+                         precision=jax.lax.Precision.HIGHEST)
 
         bottlenecks = jnp.broadcast_to(
             bottleneck_init, (B, self.bottlenecks_n, D)).astype(self.dtype)
@@ -148,7 +149,8 @@ class MBTFusion(nn.Module):
             if self.vsltonly == 1 and last_layer:
                 break
             stack = jnp.stack(bn_outs)                       # [M, B, n, D]
-            mixed = jnp.einsum("bm,mbnd->bnd", mix.astype(stack.dtype), stack)
+            mixed = jnp.einsum("bm,mbnd->bnd", mix.astype(stack.dtype), stack,
+                               precision=jax.lax.Precision.HIGHEST)
             if self.resbottle:
                 mixed = (mixed + bottlenecks) / 2.0
             bottlenecks = mixed
@@ -232,6 +234,7 @@ class MultitokenMBTFusion(nn.Module):
             xs = new_xs
             stack = jnp.stack(bn_outs)                    # [M, B, G*n, D]
             stack = stack.reshape(M, B, G, n, D)
-            mixed = jnp.einsum("gm,mbgnd->bgnd", member.astype(stack.dtype), stack)
+            mixed = jnp.einsum("gm,mbgnd->bgnd", member.astype(stack.dtype),
+                               stack, precision=jax.lax.Precision.HIGHEST)
             bottlenecks = mixed.reshape(B, G * n, D)
         return xs

@@ -220,8 +220,11 @@ class TRI_MBT_V1(nn.Module):
         W = jnp.array([[1 / 3, 1 / 3, 1 / 3], [1 / 2, 1 / 2, 0],
                        [1 / 2, 0, 1 / 2], [1, 0, 0]], dtype=jnp.float32)
         onehot = jax.nn.one_hot(missing_num, 4, dtype=jnp.float32)
-        mix = (onehot @ W).astype(logits.dtype)                   # [B, M]
-        out = jnp.einsum("bm,mb->b", mix, logits)
+        mix = jnp.einsum("bk,km->bm", onehot, W,
+                         precision=jax.lax.Precision.HIGHEST
+                         ).astype(logits.dtype)                   # [B, M]
+        out = jnp.einsum("bm,mb->b", mix, logits,
+                         precision=jax.lax.Precision.HIGHEST)
         return out, None, None
 
 
@@ -262,7 +265,8 @@ class TRI_MBT_VFLEXIBLE(nn.Module):
         v = weighted[0]
         cands = jnp.stack([tri, vi, vt, v])                       # [4, B]
         onehot = jax.nn.one_hot(missing_num, 4, dtype=cands.dtype)
-        out = jnp.einsum("bk,kb->b", onehot, cands)
+        out = jnp.einsum("bk,kb->b", onehot, cands,
+                         precision=jax.lax.Precision.HIGHEST)
         return out, None, None
 
 
@@ -297,7 +301,8 @@ class TRI_MBT_VNOSHNOAVGTR(nn.Module):
             vt = (out[0] + out[2]) / 2
             cands = jnp.stack([tri, vi, vt, out[0]])
             onehot = jax.nn.one_hot(missing_num, 4, dtype=cands.dtype)
-            return jnp.einsum("bk,kb->b", onehot, cands), rmse, None
+            return jnp.einsum("bk,kb->b", onehot, cands,
+                              precision=jax.lax.Precision.HIGHEST), rmse, None
         return out, rmse, None
 
 

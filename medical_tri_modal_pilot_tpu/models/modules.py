@@ -45,21 +45,34 @@ class StdLayerNorm(nn.Module):
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         n = xf.shape[-1]
         var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / (n - 1)
-        std = jnp.sqrt(var)
+        # tiny floor keeps the backward finite at zero variance (torch's
+        # std backward yields 0 there; bare sqrt(0) would give inf*0=NaN)
+        std = jnp.sqrt(jnp.maximum(var, 1e-24))
         out = (xf - mean) / (std + self.eps) * gamma + beta
         return out.astype(self.dtype)
 
 
+import functools as _functools
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=32)
+def _pe_table(length: int, d_model: int) -> _np.ndarray:
+    # host-side constant (numpy, f32 like the torch buffer) — XLA's f32 sin
+    # loses ~1e-4 at large arguments, the host libm doesn't
+    position = _np.arange(length, dtype=_np.float32)[:, None]
+    div_term = _np.exp(_np.arange(0, d_model, 2, dtype=_np.float32)
+                       * -(math.log(10000.0) / d_model)).astype(_np.float32)
+    angles = position * div_term
+    pe = _np.zeros((length, d_model), dtype=_np.float32)
+    pe[:, 0::2] = _np.sin(angles)
+    pe[:, 1::2] = _np.cos(angles)
+    return pe[None]
+
+
 def positional_encoding(length: int, d_model: int, dtype=jnp.float32) -> jnp.ndarray:
     """Sinusoidal PE table [1, length, d_model] (module.py:11-32)."""
-    position = jnp.arange(length, dtype=jnp.float32)[:, None]
-    div_term = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
-                       * -(math.log(10000.0) / d_model))
-    angles = position * div_term
-    pe = jnp.zeros((length, d_model), dtype=jnp.float32)
-    pe = pe.at[:, 0::2].set(jnp.sin(angles))
-    pe = pe.at[:, 1::2].set(jnp.cos(angles))
-    return pe[None].astype(dtype)
+    return jnp.asarray(_pe_table(length, d_model), dtype=dtype)
 
 
 def length_key_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:

@@ -23,10 +23,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def make_mesh(dp_size: int = 0) -> Mesh:
-    """1-D data-parallel mesh over the first dp_size devices (0 = all)."""
+def auto_dp_size(batch_size: int, n_devices: int) -> int:
+    """Largest device count <= n_devices that divides the batch."""
+    for n in range(min(batch_size, n_devices), 0, -1):
+        if batch_size % n == 0:
+            return n
+    return 1
+
+
+def make_mesh(dp_size: int = 0, batch_size: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over the first dp_size devices (0 = auto:
+    the largest batch-divisible device count)."""
     devices = jax.devices()
-    n = dp_size if dp_size > 0 else len(devices)
+    if dp_size > 0:
+        n = dp_size
+    elif batch_size is not None:
+        n = auto_dp_size(batch_size, len(devices))
+    else:
+        n = len(devices)
     return Mesh(np.array(devices[:n]), (DATA_AXIS,))
 
 

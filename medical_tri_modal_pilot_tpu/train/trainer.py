@@ -144,7 +144,8 @@ def select_eval_output(cfg: Config, logits, missing_num):
         vt = (logits[0] + logits[2]) / 2
         cands = jnp.stack([tri, vi, vt, logits[0]])
         onehot = jax.nn.one_hot(missing_num, 4, dtype=cands.dtype)
-        return jnp.einsum("bk,kb->b", onehot, cands)
+        return jnp.einsum("bk,kb->b", onehot, cands,
+                      precision=jax.lax.Precision.HIGHEST)
     return logits
 
 
@@ -155,7 +156,7 @@ class Trainer:
                  sample_batch: Dict[str, np.ndarray], seed: int = 0):
         self.cfg = cfg
         self.model = model
-        self.mesh = make_mesh(cfg.dp_size)
+        self.mesh = make_mesh(cfg.dp_size, cfg.batch_size)
         self.schedule = build_schedule(cfg, max(iters_per_epoch, 1))
         self.tx = build_optimizer(cfg, self.schedule)
         self._rng = jax.random.PRNGKey(seed)

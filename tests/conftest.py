@@ -2,11 +2,17 @@ import os
 
 # force CPU with 8 virtual devices BEFORE jax import — sharding tests run on
 # a virtual mesh (SURVEY.md §4); bench/real-TPU runs bypass pytest.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# overwrite, not setdefault: the environment exports JAX_PLATFORMS=axon
+# (the real-TPU tunnel) globally, and the axon plugin ignores the env var —
+# only the programmatic config update reliably forces CPU here.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 sys.path.insert(0, os.path.dirname(__file__))

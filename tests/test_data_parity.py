@@ -1,0 +1,112 @@
+"""Golden parity of the sample-index machinery against the reference
+dataset classes executed in-process from /root/reference (torch CPU).
+
+The reference reads ./builder/data/text/... and ./data/*.h5 relative to
+cwd and writes ./data/testIndexes — tests run inside a tmp dir with a
+``builder`` symlink into the reference tree and a tiny fixture h5 at the
+default --biobert-path (its argparse restricts that flag's choices)."""
+import contextlib
+import glob
+import io
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from medical_tri_modal_pilot_tpu.config import parse_config
+from medical_tri_modal_pilot_tpu.data.indexer import (_build_train_index,
+                                                      build_eval_index)
+from ref_shim import import_reference
+
+BASE = ["--train-data-path", "/root/reference/data/sample_data/train",
+        "--test-data-path", "/root/reference/data/sample_data/test",
+        "--batch-size", "4"]
+
+CONFIGS = [
+    ["--input-types", "vslt", "--output-type", "mortality",
+     "--modality-inclusion", "train-missing_test-missing"],
+    ["--input-types", "vslt", "--output-type", "intubation",
+     "--modality-inclusion", "train-missing_test-missing"],
+    ["--input-types", "vslt_img_txt", "--output-type", "mortality",
+     "--modality-inclusion", "train-missing_test-missing"],
+    ["--input-types", "vslt_img_txt", "--output-type", "intubation",
+     "--modality-inclusion", "train-full_test-full"],
+    ["--input-types", "vslt_img_txt", "--output-type", "vasso",
+     "--modality-inclusion", "train-missing_test-missing",
+     "--missing-exhaustive", "1"],
+    ["--input-types", "vslt_img", "--output-type", "cpr",
+     "--modality-inclusion", "train-full_test-full",
+     "--fullmodal-definition", "img1"],
+]
+
+
+@pytest.fixture()
+def ref_sandbox(tmp_path):
+    """cwd layout the reference code expects (it is already tmp_path via
+    the autouse chdir fixture)."""
+    import h5py
+    if not os.path.exists("builder"):
+        os.symlink("/root/reference/builder", "builder")
+    os.makedirs("data/testIndexes", exist_ok=True)
+    h5 = "data/mimic4_embeddings.h5"
+    if not os.path.exists(h5):
+        with h5py.File(h5, "w") as f:
+            g = f.create_group("found down")
+            g.create_dataset("embedding", data=np.zeros((7, 768), np.float32))
+    return str(tmp_path)
+
+
+def _clear_cache():
+    for f in glob.glob("data/testIndexes/*"):
+        os.remove(f)
+
+
+@pytest.mark.parametrize("extra", CONFIGS, ids=lambda c: " ".join(c[1::2]))
+def test_train_index_matches_reference(extra, ref_sandbox):
+    argv = BASE + extra
+    ref = import_reference(argv)
+    from builder.utils.utils import patient_wise_ordering
+    pd, kl = patient_wise_ordering(ref["args"])
+    train_list = sorted(p for k in kl[0] for p in pd[k])
+    cls = (ref["dataset_new"].Onetime_Outbreak_Training_Dataset
+           if ref["args"].output_type == "mortality"
+           else ref["dataset_new"].Multiple_Outbreaks_Training_Dataset)
+    with contextlib.redirect_stdout(io.StringIO()):
+        ds = cls(ref["args"], data=train_list, data_type="training dataset")
+    ref_rows = [(d[0].split("/")[-1], tuple(d[1]), d[4], t)
+                for d, t in zip(ds._data_list, ds._type_list)]
+
+    cfg = parse_config(argv).replace(dir_root="/root/reference")
+    mine = _build_train_index(cfg, train_list)
+    my_rows = [(s.pkl_path.split("/")[-1], tuple(s.keys), s.target, t)
+               for s, t in zip(mine.samples, mine.type_list)]
+    assert my_rows == ref_rows
+
+
+@pytest.mark.parametrize("extra", CONFIGS[:3], ids=lambda c: " ".join(c[1::2]))
+def test_eval_index_matches_reference_structurally(extra, ref_sandbox):
+    """Eval keys are random.sample-dependent (global RNG in the reference);
+    parity is structural: same multiset of (stay, target, type-code)."""
+    from collections import Counter
+    argv = BASE + extra
+    ref = import_reference(argv)
+    from builder.utils.utils import search_walk
+    test_list = sorted(search_walk(
+        {"path": ref["args"].test_data_path, "extension": ".pkl"}))
+    cls = (ref["dataset_new"].Onetime_Outbreak_Test_Dataset
+           if ref["args"].output_type == "mortality"
+           else ref["dataset_new"].Multiple_Outbreaks_Test_Dataset)
+    _clear_cache()
+    with contextlib.redirect_stdout(io.StringIO()):
+        ds = cls(ref["args"], data=test_list, data_type="test dataset")
+    ref_counts = Counter((d[0].split("/")[-1], d[4], t)
+                         for d, t in zip(ds._data_list, ds._type_list))
+
+    _clear_cache()
+    cfg = parse_config(argv).replace(dir_root="/root/reference")
+    mine = build_eval_index(cfg, test_list, "test")
+    my_counts = Counter((s.pkl_path.split("/")[-1], s.target, t)
+                        for s, t in zip(mine.samples, mine.type_list))
+    assert my_counts == ref_counts

@@ -72,8 +72,9 @@ def test_mha_matches_reference(ref):
     _copy_linear(ref_mha.query_proj.linear, "query_proj", p)
     _copy_linear(ref_mha.key_proj.linear, "key_proj", p)
     _copy_linear(ref_mha.value_proj.linear, "value_proj", p)
-    out = ours.apply({"params": p}, jnp.asarray(x), jnp.asarray(x),
-                     jnp.asarray(x), jnp.asarray(mask_np))
+    with jax.default_matmul_precision("highest"):
+        out = ours.apply({"params": p}, jnp.asarray(x), jnp.asarray(x),
+                         jnp.asarray(x), jnp.asarray(mask_np))
     np.testing.assert_allclose(np.asarray(out), t2n(ref_out), atol=2e-5)
 
 
@@ -109,8 +110,9 @@ def test_encoder_layer_matches_reference(ref):
     ff["w_2"] = {"kernel": jnp.asarray(t2n(ref_layer.feed_forward.w_2.weight)[:, :, 0].T),
                  "bias": jnp.asarray(t2n(ref_layer.feed_forward.w_2.bias))}
     p["feed_forward"] = ff
-    out = ours.apply({"params": p}, jnp.asarray(x), jnp.asarray(mask_np),
-                     True)
+    with jax.default_matmul_precision("highest"):
+        out = ours.apply({"params": p}, jnp.asarray(x), jnp.asarray(mask_np),
+                         True)
     np.testing.assert_allclose(np.asarray(out), t2n(ref_out), atol=5e-5)
 
 
@@ -122,6 +124,7 @@ def test_fully_masked_row_is_uniform_average():
     k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D))
     v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, D))
     mask = length_key_mask(jnp.array([0]), L)
-    out = masked_softmax_attention(q, k, v, mask, math.sqrt(D))
+    with jax.default_matmul_precision("highest"):
+        out = masked_softmax_attention(q, k, v, mask, math.sqrt(D))
     np.testing.assert_allclose(np.asarray(out[0, 0, 0]),
                                np.asarray(v[0, 0].mean(0)), atol=1e-5)

@@ -1,0 +1,80 @@
+"""Trainer semantics: missing-code computation, LR schedule parity against
+the reference scheduler (run in torch), loss dispatch."""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medical_tri_modal_pilot_tpu.config import parse_config
+from medical_tri_modal_pilot_tpu.train.schedule import (
+    cosine_annealing_warmup_restarts)
+from medical_tri_modal_pilot_tpu.train.trainer import (compute_loss,
+                                                       compute_missing_num)
+
+BASE = ["--train-data-path", "/root/reference/data/sample_data/train",
+        "--test-data-path", "/root/reference/data/sample_data/test"]
+
+
+def test_missing_num_trimodal():
+    cfg = parse_config(BASE + ["--input-types", "vslt_img_txt"])
+    # rows: (vslt, img, txt)
+    missing = jnp.array([[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1]],
+                        jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(compute_missing_num(cfg, missing)), [0, 1, 2, 3])
+
+
+def test_missing_num_bimodal():
+    cfg_img = parse_config(BASE + ["--input-types", "vslt_img",
+                                   "--fullmodal-definition", "img1"])
+    cfg_txt = parse_config(BASE + ["--input-types", "vslt_txt",
+                                   "--fullmodal-definition", "txt1"])
+    missing = jnp.array([[0, 0, 1], [0, 1, 1]], jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(compute_missing_num(cfg_img, missing)), [0, 1])
+    missing = jnp.array([[0, 1, 0], [0, 1, 1]], jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(compute_missing_num(cfg_txt, missing)), [0, 1])
+
+
+def test_schedule_matches_reference_scheduler():
+    torch = pytest.importorskip("torch")
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from builder.utils.cosine_annealing_with_warmup_v2 import (
+        CosineAnnealingWarmupRestarts as RefSched)
+
+    iters_per_epoch = 7
+    max_lr = 1e-4 * math.sqrt(32)
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    ref = RefSched(opt, first_cycle_steps=50 * iters_per_epoch, cycle_mult=2,
+                   max_lr=max_lr, min_lr=1e-6,
+                   warmup_steps=5 * iters_per_epoch, gamma=0.5)
+    ours = cosine_annealing_warmup_restarts(
+        first_cycle_steps=50 * iters_per_epoch, max_lr=max_lr, min_lr=1e-6,
+        warmup_steps=5 * iters_per_epoch, gamma=0.5, cycle_mult=2.0)
+    # the reference driver calls scheduler.step(iteration) with iteration
+    # starting at 1 (2_train.py:172,190)
+    for it in list(range(1, 60)) + [349, 350, 351, 700, 1049, 1100, 2000]:
+        ref.step(it)
+        ref_lr = opt.param_groups[0]["lr"]
+        np.testing.assert_allclose(float(ours(it)), ref_lr, rtol=1e-5,
+                                   err_msg=f"iteration {it}")
+
+
+def test_vnosh_loss_masks_missing_heads():
+    cfg = parse_config(BASE + ["--input-types", "vslt_img_txt",
+                               "--model", "tri_mbt_vnoshnoavgtr"])
+    logits = jnp.array([[10.0, 10.0], [-10.0, -10.0], [0.0, 0.0]])  # [3, B]
+    targets = jnp.array([1.0, 1.0])
+    # sample 0: all present; sample 1: img+txt missing
+    missing = jnp.array([[0, 0, 0], [0, 1, 1]], jnp.float32)
+    mn = compute_missing_num(cfg, missing)
+    loss = compute_loss(cfg, logits, None, targets, jnp.zeros(2), missing, mn)
+    # manual: sample0 heads all; sample1 only vslt head
+    import optax
+    l = optax.sigmoid_binary_cross_entropy(logits, jnp.broadcast_to(targets, (3, 2)))
+    w = 1.0 - missing.T
+    expected = float((l * w).sum() / w.sum())
+    assert float(loss) == pytest.approx(expected, rel=1e-6)
