@@ -237,8 +237,12 @@ _flash_attention.defvjp(_flash_fwd, _bwd)
 
 def pallas_masked_attention(q, k, v, key_mask: Optional[jnp.ndarray],
                             scale: float) -> jnp.ndarray:
-    """Drop-in for modules.masked_softmax_attention. ``key_mask`` must be a
-    length-style mask (True tail = masked); converted to lengths here."""
+    """Drop-in for modules.masked_softmax_attention. Length-style key masks
+    (True tail = masked) run through the fused kernel; full [B, Lq, Lk]
+    block masks (multitoken MBT variants) fall back to the XLA path."""
+    if key_mask is not None and key_mask.ndim == 3:
+        from ..models.modules import masked_softmax_attention
+        return masked_softmax_attention(q, k, v, key_mask, scale)
     if key_mask is None:
         lengths = jnp.full((q.shape[0],), k.shape[2], dtype=jnp.int32)
     else:

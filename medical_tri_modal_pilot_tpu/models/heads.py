@@ -32,3 +32,20 @@ class ClsHead(nn.Module):
         else:
             h = nn.selu(h)
         return nn.Dense(self.output_dim, dtype=self.dtype, name="fc2")(h)
+
+
+class ClsHeadLN(nn.Module):
+    """Linear -> LayerNorm -> act -> Linear — the fc_lists variant used by
+    the multitoken models (tri_mbt_vmulti.py:122-127 uses LayerNorm, the
+    BatchNorm is commented out there)."""
+    d_model: int
+    output_dim: int = 1
+    activation: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="fc1")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln")(h)
+        h = nn.relu(h) if self.activation == "relu" else nn.selu(h)
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="fc2")(h)

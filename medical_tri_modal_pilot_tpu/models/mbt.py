@@ -157,11 +157,92 @@ class MBTFusion(nn.Module):
         return xs
 
 
+# ---------------------------------------------------------------------------
+# Multi-token MBT (the "vmulti" family)
+# ---------------------------------------------------------------------------
+
+# bottleneck groups: 0=vit, 1=vi, 2=vt, 3=it; each modality carries three
+# groups (mbt_encoder.py:380): vslt->(vit,vi,vt), img->(vit,vi,it),
+# txt->(vit,vt,it)
+GROUPS_PER_MODALITY = ((0, 1, 2), (0, 1, 3), (0, 2, 3))
+
+# which modality contributes to each group, in modality order
+_GROUP_CONTRIBUTORS = ((0, 1, 2), (0, 1), (0, 2), (1, 2))
+
+# per-group, per-missing-case contributor-index subsets to average
+# (mbt_encoder.py:427-430, keyed by GROUP; items indexed by missing case)
+_GROUP_CASE_SUBSETS = (
+    ((0, 1, 2), (0, 1), (0, 2), (0,)),   # group vit
+    ((0, 1), (0, 1), (0,), (0,)),        # group vi
+    ((0, 1), (0,), (0, 1), (1,)),        # group vt
+    ((0, 1), (0,), (1,), (0,)),          # group it (case 3 unused downstream)
+)
+
+
+def _group_case_weights() -> np.ndarray:
+    """[G, 4 cases, max_contrib] normalized mean weights over each group's
+    contributor list."""
+    W = np.zeros((4, 4, 3), dtype=np.float32)
+    for g, cases in enumerate(_GROUP_CASE_SUBSETS):
+        for c, subset in enumerate(cases):
+            for i in subset:
+                W[g, c, i] = 1.0 / len(subset)
+    return W
+
+
+def _block_mask_vslt(n: int) -> np.ndarray:
+    """16x16 block over [3 bottleneck groups ∥ 4 cls] for the vslt stack
+    (mbt_encoder.py:381-396). True = masked."""
+    assert n == 4, "reference block masks are hand-built for bottlenecks_n=4"
+    m = np.zeros((16, 16))
+    m[:16, :16] = 1
+    for s in range(3):
+        m[4 * s:4 * (s + 1), 4 * s:4 * (s + 1)] = 0
+    for c in range(4):
+        m[12 + c, 12 + c] = 0
+    for c, s in ((12, 0), (13, 1), (14, 2)):
+        m[c, 4 * s:4 * (s + 1)] = 0
+        m[4 * s:4 * (s + 1), c] = 0
+    return m >= 0.5
+
+
+def _block_mask_imgtxt(L_total: int, n: int) -> np.ndarray:
+    """Full-sequence additive mask for img/txt stacks
+    (mbt_encoder.py:398-422): the hand pattern is written over the first 16
+    positions even though those stacks have 12 bottlenecks + 2 cls — the
+    first two content tokens get caught in the masked block (quirk
+    preserved)."""
+    assert n == 4
+    m = np.zeros((L_total, L_total))
+    m[:16, :16] = 1
+    for s in range(3):
+        m[4 * s:4 * (s + 1), 4 * s:4 * (s + 1)] = 0
+    m[12, 12] = 0
+    m[13, 13] = 0
+    m[12, :4] = 0
+    m[:4, 12] = 0
+    m[13, 4:8] = 0
+    m[4:8, 13] = 0
+    return m >= 0.5
+
+
+def _block_mask_groups12(n: int) -> np.ndarray:
+    """12x12 group-diagonal mask for img/txt in the VSLTMAIN variant
+    (mbt_encoder.py:81-93)."""
+    m = np.ones((3 * n, 3 * n))
+    for s in range(3):
+        m[n * s:n * (s + 1), n * s:n * (s + 1)] = 0
+    return m >= 0.5
+
+
 class MultitokenMBTFusion(nn.Module):
-    """Multi-cls-token MBT (TrimodalTransformerEncoder_Multitokens_MBT,
-    mbt_encoder.py:329-517): 4 cls tokens per modality — one per modality
-    subset — each attending with its subset's bottleneck group; the trainer
-    selects the cls matching each sample's missing_num."""
+    """TrimodalTransformerEncoder_Multitokens_MBT (mbt_encoder.py:329-517).
+
+    Per-modality cls token counts [4, 2, 2]; four bottleneck groups
+    (vit/vi/vt/it) of n tokens each; every modality concatenates its three
+    relevant groups + cls + tokens. Hand-built block masks confine
+    bottleneck/cls attention; per-group missing-aware means are computed as
+    static weight matrices selected by one-hot missing case."""
     n_modality: int = 3
     bottlenecks_n: int = 4
     fusion_startidx: int = 0
@@ -171,46 +252,47 @@ class MultitokenMBTFusion(nn.Module):
     d_ff: int = 1024
     dropout: float = 0.1
     txt_idx: int = 2
-    vslt_main: bool = False   # MBTVSLTMAIN variant: subsets always incl. vslt
     use_pe: Tuple[bool, ...] = (False, False, True)
-    mask: Tuple[bool, ...] = (True, False, True)
+    mask: Tuple[bool, ...] = (True, True, True)
     dtype: jnp.dtype = jnp.float32
 
-    N_GROUPS: int = 4  # modality subsets: tri, v+i, v+t, v
+    CLS_NUM = (4, 2, 2)
 
     @nn.compact
     def __call__(self, enc_inputs, varying_lengths, missing_num,
                  deterministic: bool = True):
-        M, G = self.n_modality, self.N_GROUPS
+        M, n = self.n_modality, self.bottlenecks_n
         B, D = enc_inputs[0].shape[0], self.d_model
-        n = self.bottlenecks_n
 
         cls_tokens = [
-            self.param(f"cls_tokens_{m}", nn.initializers.normal(1.0), (1, G, D))
-            for m in range(M)]
-        bottleneck_init = self.param(
-            "bottlenecks", nn.initializers.normal(1.0), (1, G * n, D))
+            self.param(f"cls_tokens_{m}", nn.initializers.normal(1.0),
+                       (1, self.CLS_NUM[m], D)) for m in range(M)]
+        group_params = [
+            self.param(f"bottlenecks_{g}", nn.initializers.normal(1.0),
+                       (1, n, D)) for g in range(4)]
 
-        # group membership: which modalities feed each bottleneck group
-        member = np.zeros((G, M), dtype=np.float32)
-        member[0, :] = 1                    # tri
-        member[1, [0, 1]] = 1               # vslt + img
-        member[2, [0, 2]] = 1               # vslt + txt
-        member[3, 0] = 1                    # vslt only
-        member /= member.sum(1, keepdims=True)
-        member = jnp.asarray(member)
-
-        xs, b_key_masks = [], []
+        xs, b_key_masks, plain_masks = [], [], []
         for m in range(M):
             x = jnp.concatenate(
-                [jnp.broadcast_to(cls_tokens[m], (B, G, D)).astype(self.dtype),
+                [jnp.broadcast_to(cls_tokens[m], (B, self.CLS_NUM[m], D)
+                                  ).astype(self.dtype),
                  enc_inputs[m].astype(self.dtype)], axis=1)
             L = x.shape[1]
-            vlen = varying_lengths[m] + G
+            vlen = varying_lengths[m] + self.CLS_NUM[m]
             if m == self.txt_idx:
-                vlen = jnp.where(vlen == 2 + G, 0, vlen)
+                vlen = jnp.where(vlen == 3, 0, vlen)
+            plain_masks.append(length_key_mask(vlen, L) if self.mask[m] else None)
+            Lb = L + 3 * n
             if self.mask[m]:
-                b_key_masks.append(length_key_mask(vlen + G * n, L + G * n))
+                pad = length_key_mask(vlen + 3 * n, Lb)       # [B, Lb]
+                full = jnp.broadcast_to(pad[:, None, :], (B, Lb, Lb))
+                if m == 0:
+                    block = jnp.asarray(_block_mask_vslt(n))
+                    full = full.at[:, :16, :16].set(block[None])
+                else:
+                    block = jnp.asarray(_block_mask_imgtxt(Lb, n))
+                    full = full | block[None]
+                b_key_masks.append(full)
             else:
                 b_key_masks.append(None)
             h = StdLayerNorm(D, dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
@@ -218,23 +300,148 @@ class MultitokenMBTFusion(nn.Module):
                 h = h + positional_encoding(L, D, self.dtype)
             xs.append(nn.Dropout(self.dropout)(h, deterministic=deterministic))
 
-        bottlenecks = jnp.broadcast_to(
-            bottleneck_init, (B, G * n, D)).astype(self.dtype)
+        groups = [jnp.broadcast_to(p, (B, n, D)).astype(self.dtype)
+                  for p in group_params]
+        case_w = jnp.asarray(_group_case_weights())           # [G, 4, 3]
+        onehot = jax.nn.one_hot(missing_num, 4, dtype=jnp.float32)
 
         for layer in range(self.n_layers):
-            new_xs, bn_outs = [], []
+            if layer < self.fusion_startidx:
+                for m in range(M):
+                    xs[m] = TransformerEncoderLayer(
+                        D, self.n_head, self.d_ff, self.dropout, self.dtype,
+                        name=f"layers_{layer}_{m}")(xs[m], plain_masks[m],
+                                                    deterministic)
+                continue
+            new_xs = [None] * M
+            contribs = [[] for _ in range(4)]   # group -> per-modality outs
             for m in range(M):
+                b_in = jnp.concatenate(
+                    [jnp.concatenate([groups[g] for g in
+                                      GROUPS_PER_MODALITY[m]], axis=1), xs[m]],
+                    axis=1)
+                out = TransformerEncoderLayer(
+                    D, self.n_head, self.d_ff, self.dropout, self.dtype,
+                    name=f"layers_{layer}_{m}")(b_in, b_key_masks[m],
+                                                deterministic)
+                for slot, g in enumerate(GROUPS_PER_MODALITY[m]):
+                    contribs[g].append(out[:, n * slot:n * (slot + 1)])
+                new_xs[m] = out[:, 3 * n:]
+            xs = new_xs
+            new_groups = []
+            for g in range(4):
+                stack = jnp.stack(contribs[g])                # [C, B, n, D]
+                C = stack.shape[0]
+                mix = jnp.einsum("bk,kc->bc", onehot, case_w[g, :, :C],
+                                 precision=jax.lax.Precision.HIGHEST)
+                new_groups.append(jnp.einsum(
+                    "bc,cbnd->bnd", mix.astype(stack.dtype), stack,
+                    precision=jax.lax.Precision.HIGHEST))
+            groups = new_groups
+        return xs
+
+
+class MultitokenMBTVSLTMAINFusion(nn.Module):
+    """TrimodalTransformerEncoder_Multitokens_MBTVSLTMAIN
+    (mbt_encoder.py:9-193): only the vslt stack carries the 4 cls tokens;
+    one shared bottleneck parameter replicated into the three group slots at
+    the first fusion layer; img/txt block masks are 12x12 group-diagonal
+    over the bottlenecks only."""
+    n_modality: int = 3
+    bottlenecks_n: int = 4
+    fusion_startidx: int = 0
+    n_layers: int = 6
+    n_head: int = 4
+    d_model: int = 256
+    d_ff: int = 1024
+    dropout: float = 0.1
+    txt_idx: int = 2
+    use_pe: Tuple[bool, ...] = (False, False, True)
+    mask: Tuple[bool, ...] = (True, True, True)
+    dtype: jnp.dtype = jnp.float32
+
+    N_CLS = 4
+
+    @nn.compact
+    def __call__(self, enc_inputs, varying_lengths, missing_num,
+                 deterministic: bool = True):
+        M, n = self.n_modality, self.bottlenecks_n
+        B, D = enc_inputs[0].shape[0], self.d_model
+
+        cls_token = self.param("cls_token", nn.initializers.normal(1.0),
+                               (1, self.N_CLS, D))
+        bottleneck_init = self.param("bottlenecks", nn.initializers.normal(1.0),
+                                     (1, n, D))
+
+        xs, b_key_masks, plain_masks = [], [], []
+        for m in range(M):
+            x = enc_inputs[m].astype(self.dtype)
+            vlen = varying_lengths[m]
+            if m == 0:
+                x = jnp.concatenate(
+                    [jnp.broadcast_to(cls_token, (B, self.N_CLS, D)
+                                      ).astype(self.dtype), x], axis=1)
+                vlen = vlen + self.N_CLS
+            if m == self.txt_idx:
+                vlen = jnp.where(vlen == 3, 0, vlen)
+            L = x.shape[1]
+            plain_masks.append(length_key_mask(vlen, L) if self.mask[m] else None)
+            Lb = L + 3 * n
+            if self.mask[m]:
+                pad = length_key_mask(vlen + 3 * n, Lb)
+                full = jnp.broadcast_to(pad[:, None, :], (B, Lb, Lb))
+                if m == 0:
+                    block = jnp.asarray(_block_mask_vslt(n))
+                    full = full.at[:, :16, :16].set(block[None])
+                else:
+                    block = jnp.asarray(_block_mask_groups12(n))
+                    full = full.at[:, :3 * n, :3 * n].set(block[None])
+                b_key_masks.append(full)
+            else:
+                b_key_masks.append(None)
+            h = StdLayerNorm(D, dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
+            if self.use_pe[m]:
+                h = h + positional_encoding(L, D, self.dtype)
+            xs.append(nn.Dropout(self.dropout)(h, deterministic=deterministic))
+
+        groups = None   # first fusion layer replicates the shared parameter
+        case_w = jnp.asarray(_group_case_weights())
+        onehot = jax.nn.one_hot(missing_num, 4, dtype=jnp.float32)
+        shared = jnp.broadcast_to(bottleneck_init, (B, n, D)).astype(self.dtype)
+
+        for layer in range(self.n_layers):
+            if layer < self.fusion_startidx:
+                for m in range(M):
+                    xs[m] = TransformerEncoderLayer(
+                        D, self.n_head, self.d_ff, self.dropout, self.dtype,
+                        name=f"layers_{layer}_{m}")(xs[m], plain_masks[m],
+                                                    deterministic)
+                continue
+            new_xs = [None] * M
+            contribs = [[] for _ in range(4)]
+            for m in range(M):
+                if groups is None:
+                    bottlenecks = jnp.concatenate([shared] * 3, axis=1)
+                else:
+                    bottlenecks = jnp.concatenate(
+                        [groups[g] for g in GROUPS_PER_MODALITY[m]], axis=1)
                 b_in = jnp.concatenate([bottlenecks, xs[m]], axis=1)
                 out = TransformerEncoderLayer(
                     D, self.n_head, self.d_ff, self.dropout, self.dtype,
                     name=f"layers_{layer}_{m}")(b_in, b_key_masks[m],
                                                 deterministic)
-                bn_outs.append(out[:, :G * n])
-                new_xs.append(out[:, G * n:])
+                for slot, g in enumerate(GROUPS_PER_MODALITY[m]):
+                    contribs[g].append(out[:, n * slot:n * (slot + 1)])
+                new_xs[m] = out[:, 3 * n:]
             xs = new_xs
-            stack = jnp.stack(bn_outs)                    # [M, B, G*n, D]
-            stack = stack.reshape(M, B, G, n, D)
-            mixed = jnp.einsum("gm,mbgnd->bgnd", member.astype(stack.dtype),
-                               stack, precision=jax.lax.Precision.HIGHEST)
-            bottlenecks = mixed.reshape(B, G * n, D)
+            new_groups = []
+            for g in range(4):
+                stack = jnp.stack(contribs[g])
+                C = stack.shape[0]
+                mix = jnp.einsum("bk,kc->bc", onehot, case_w[g, :, :C],
+                                 precision=jax.lax.Precision.HIGHEST)
+                new_groups.append(jnp.einsum(
+                    "bc,cbnd->bnd", mix.astype(stack.dtype), stack,
+                    precision=jax.lax.Precision.HIGHEST))
+            groups = new_groups
         return xs

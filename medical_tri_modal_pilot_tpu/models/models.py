@@ -390,3 +390,106 @@ class UNIMODAL_TRANSFORMER(nn.Module):
         logits = ClsHead(cfg.transformer_dim, cfg.output_dim, cfg.activation,
                          dtype=x.dtype, name="fc_list")(x, deterministic)
         return logits[..., 0], None, None
+
+
+class _MultitokenBase(nn.Module):
+    """Shared embedding path for the vmulti family (tri_mbt_vmulti.py:128+):
+    UMSE + image/text encoders feeding a multitoken fusion with
+    mask=[True,True,True] and full image varying length."""
+    cfg: Config
+    vslt_main: bool = False
+
+    def _embed(self, batch, deterministic):
+        from .mbt import MultitokenMBTFusion, MultitokenMBTVSLTMAINFusion
+        cfg = self.cfg
+        dt = model_dtype(cfg)
+        umse = UMSE(cfg.transformer_dim, cfg.vslt_type, cfg.berttype,
+                    cfg.imgtxt_time, cfg.vslt_len, dtype=dt, name="umse")
+        vslt_tokens, demo = umse.embed_vslt(batch["vslt"], batch["static"][:, 1],
+                                            batch["static"][:, 0])
+        img_tokens = ImageEncoder(cfg, dtype=dt, name="img_enc")(
+            batch["img"], deterministic)
+        txt_tokens = umse.embed_txt(batch["txt"])
+        if txt_tokens.ndim == 2:
+            txt_tokens = txt_tokens[:, None, :]
+        if cfg.imgtxt_time == 1:
+            img_tokens = umse.add_time_feature(
+                img_tokens, batch["img_time"].reshape(-1), IMG_FEATURE_ID, demo)
+            txt_tokens = umse.add_time_feature(
+                txt_tokens, batch["txt_time"], TXT_FEATURE_ID, demo)
+        enc_inputs = [vslt_tokens, img_tokens, txt_tokens]
+        varying = [batch["input_length"].astype(jnp.int32),
+                   jnp.full((img_tokens.shape[0],), img_tokens.shape[1],
+                            dtype=jnp.int32),
+                   batch["txt_length"].astype(jnp.int32) + 2]
+        fusion_cls = (MultitokenMBTVSLTMAINFusion if self.vslt_main
+                      else MultitokenMBTFusion)
+        fusion = fusion_cls(
+            n_modality=3,
+            bottlenecks_n=cfg.mbt_bottlenecks_n,
+            fusion_startidx=cfg.mbt_fusion_startidx,
+            n_layers=cfg.transformer_num_layers,
+            n_head=cfg.transformer_num_head,
+            d_model=cfg.transformer_dim,
+            d_ff=cfg.transformer_dim * 4,
+            dropout=cfg.dropout,
+            use_pe=(cfg.vslt_type == "carryforward", False, True),
+            mask=(True, True, True),
+            dtype=dt,
+            name="fusion_transformer")
+        return fusion, enc_inputs, varying, demo
+
+    def _four_heads(self, stacked, deterministic):
+        """stacked: [4, B, D(+demo)] -> [4, B] via 4 non-shared heads."""
+        from .heads import ClsHeadLN
+        cfg = self.cfg
+        outs = []
+        for i in range(4):
+            outs.append(ClsHeadLN(cfg.transformer_dim, cfg.output_dim,
+                                  cfg.activation, dtype=stacked.dtype,
+                                  name=f"fc_lists_{i}")(stacked[i],
+                                                        deterministic)[..., 0])
+        return jnp.stack(outs)
+
+
+class TRI_MBT_VMULTI(_MultitokenBase):
+    """Multitoken MBT, per-case cls heads (tri_mbt_vmulti.py:154-180):
+    tri = mean of each modality's cls0; v+i = mean(v cls1, img cls1);
+    v+t = mean(v cls2, txt cls1); v = v cls3. Returns [4, B]."""
+
+    @nn.compact
+    def __call__(self, batch, missing_num, deterministic: bool = True) -> ModelOutput:
+        fusion, enc_inputs, varying, demo = self._embed(batch, deterministic)
+        outputs = fusion(enc_inputs, varying, missing_num, deterministic)
+        tri = (outputs[0][:, 0] + outputs[1][:, 0] + outputs[2][:, 0]) / 3
+        vi = (outputs[0][:, 1] + outputs[1][:, 1]) / 2
+        vt = (outputs[0][:, 2] + outputs[2][:, 1]) / 2
+        v = outputs[0][:, 3]
+        final = jnp.stack([tri, vi, vt, v])                   # [4, B, D]
+        final = nn.LayerNorm(dtype=final.dtype, name="after_concat_ln")(final)
+        demo_rep = jnp.broadcast_to(demo[None], (4,) + demo.shape)
+        final = jnp.concatenate([final, demo_rep.astype(final.dtype)], axis=-1)
+        return self._four_heads(final, deterministic), None, None
+
+
+class TRI_MBT_VMULTI2(TRI_MBT_VMULTI):
+    """Same head wiring over the VSLTMAIN fusion (tri_mbt_vmulti2.py:154-
+    178); img/txt carry no cls there, so their [:, 0]/[:, 1] slots are
+    content tokens — reference quirk preserved."""
+    vslt_main: bool = True
+
+
+class TRI_MBT_VMULTIVSLT(_MultitokenBase):
+    """VSLTMAIN fusion; classify from the vslt stack's four cls tokens
+    (tri_mbt_vmultivslt.py:181-187). Returns [4, B]."""
+    vslt_main: bool = True
+
+    @nn.compact
+    def __call__(self, batch, missing_num, deterministic: bool = True) -> ModelOutput:
+        fusion, enc_inputs, varying, demo = self._embed(batch, deterministic)
+        outputs = fusion(enc_inputs, varying, missing_num, deterministic)
+        final = jnp.stack([outputs[0][:, i] for i in range(4)])
+        final = nn.LayerNorm(dtype=final.dtype, name="after_concat_ln")(final)
+        demo_rep = jnp.broadcast_to(demo[None], (4,) + demo.shape)
+        final = jnp.concatenate([final, demo_rep.astype(final.dtype)], axis=-1)
+        return self._four_heads(final, deterministic), None, None

@@ -85,7 +85,9 @@ def length_key_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
 
 def masked_softmax_attention(q, k, v, key_mask: Optional[jnp.ndarray],
                              scale: float) -> jnp.ndarray:
-    """[B, H, Lq, Dh] x [B, H, Lk, Dh] with optional bool key mask [B, Lk].
+    """[B, H, Lq, Dh] x [B, H, Lk, Dh] with an optional bool mask: either a
+    key-pad mask [B, Lk] or a full [B, Lq, Lk] block mask (the multitoken
+    MBT variants use hand-built block masks, mbt_encoder.py:381-423).
 
     XLA reference path; the Pallas fused kernel (kernels/attention.py) is a
     drop-in replacement selected by ops dispatch.
@@ -93,7 +95,12 @@ def masked_softmax_attention(q, k, v, key_mask: Optional[jnp.ndarray],
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) / scale
     if key_mask is not None:
-        scores = jnp.where(key_mask[:, None, None, :], MASK_FILL_VALUE, scores)
+        if key_mask.ndim == 2:
+            scores = jnp.where(key_mask[:, None, None, :], MASK_FILL_VALUE,
+                               scores)
+        else:
+            scores = jnp.where(key_mask[:, None, :, :], MASK_FILL_VALUE,
+                               scores)
     attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
 

@@ -26,6 +26,10 @@ _REGISTRY: Dict[str, Callable] = {
     "tri_mbt_vflexible3": M.TRI_MBT_VFLEXIBLE,
     "tri_mbt_vnoshavgtr": M.TRI_MBT_VNOSHAVGTR,
     "tri_mbt_vnoshnoavgtr": M.TRI_MBT_VNOSHNOAVGTR,
+    # multitoken family
+    "tri_mbt_vmulti": M.TRI_MBT_VMULTI,
+    "tri_mbt_vmulti2": M.TRI_MBT_VMULTI2,
+    "tri_mbt_vmultivslt": M.TRI_MBT_VMULTIVSLT,
     # bimodal counterparts of the flagship (reference files are broken —
     # see models.py module docstring — implemented functionally)
     "biimg_mbt_vsltcls": M.TRI_MBT_VSLTCLS,
