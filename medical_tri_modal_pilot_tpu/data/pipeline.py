@@ -119,3 +119,24 @@ def get_test_data_loader(cfg: Config) -> BatchLoader:
     test_data = EvalDataset(cfg, test_index, "test", seed=cfg.seed)
     return BatchLoader(test_data, cfg.batch_size,
                        SequentialSampler(len(test_data)), cfg.num_workers)
+
+
+def device_prefetch(iterator, put_fn, depth: int = 2):
+    """Wrap a host batch iterator so batches are shipped to the device
+    ``depth`` steps ahead of consumption (device_put is async — the
+    transfer overlaps the current step's compute)."""
+    import collections
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            buf.append(put_fn(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put_fn(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -52,15 +52,15 @@ def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
     # lengths_ref is indexed by bh directly (pre-expanded to B*H on host)
     length = lengths_ref[bh]
 
-    q = q_ref[0].astype(jnp.float32)                   # [BLOCK_Q, D]
+    q = q_ref[0]                                       # [BLOCK_Q, D]
     acc = jnp.zeros((q.shape[0], q_ref.shape[-1]), jnp.float32)
     m_i = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
     l_i = jnp.zeros((q.shape[0], 1), jnp.float32)
 
     def body(kb, carry):
         acc, m_i, l_i = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [BQ, BK]
@@ -73,7 +73,7 @@ def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
         alpha = jnp.exp(m_i - m_new)
         l_new = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
@@ -129,15 +129,15 @@ def _bwd_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
     VMEM; accumulates dk/dv across q blocks, writes dq per block."""
     bh = pl.program_id(0)
     length = lengths_ref[bh]
-    k = k_ref[0].astype(jnp.float32)                    # [Lk, D]
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]                                        # [Lk, D]
+    v = v_ref[0]
 
-    dk_acc = jnp.zeros_like(k)
-    dv_acc = jnp.zeros_like(v)
+    dk_acc = jnp.zeros(k.shape, jnp.float32)
+    dv_acc = jnp.zeros(v.shape, jnp.float32)
 
     def body(qi, carry):
         dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qi * block_q, block_q), :]
         do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
         o = o_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -154,19 +154,21 @@ def _bwd_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
             jnp.int32, (block_q, 1), dimension=0)
         row_valid = (qrow < lq_real).astype(jnp.float32)
         dv_acc = dv_acc + jax.lax.dot_general(
-            p * row_valid, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dpart = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+            (p * row_valid).astype(v.dtype), do.astype(v.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dpart = jax.lax.dot_general(do.astype(v.dtype), v,
+                                    (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
         delta = jnp.sum(do * o, axis=1, keepdims=True)
         ds = p * (dpart - delta) * scale
         # masked/padded lanes carry no score gradient (where() semantics)
         ds = jnp.where(masked | (j >= l_real), 0.0, ds) * row_valid
-        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+        dsd = ds.astype(k.dtype)
+        dq = jax.lax.dot_general(dsd, k, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dq_ref[0, pl.ds(qi * block_q, block_q), :] = dq.astype(dq_ref.dtype)
         dk_acc = dk_acc + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            dsd, q.astype(k.dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return dk_acc, dv_acc
 

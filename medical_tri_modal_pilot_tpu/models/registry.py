@@ -12,6 +12,8 @@ from __future__ import annotations
 from typing import Callable, Dict
 
 from ..config import Config
+from . import baselines as B
+from . import extras as X
 from . import models as M
 
 _REGISTRY: Dict[str, Callable] = {
@@ -44,6 +46,11 @@ _REGISTRY: Dict[str, Callable] = {
     "bitxt_mt_v1": M.MT_FUSION_MODEL,
     # unimodal
     "unimodal_transformer": M.UNIMODAL_TRANSFORMER,
+    # legacy / baseline families (SURVEY.md §2.5)
+    "gru_d": B.GRU_D,
+    "lstm": B.LSTM_MODEL,
+    "fusiontrainer": B.FUSIONTRAINER,
+    "feature_temporal_v1": X.FEATURE_TEMPORAL_V1,
 }
 
 

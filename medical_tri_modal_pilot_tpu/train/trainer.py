@@ -154,6 +154,8 @@ class Trainer:
 
     def __init__(self, cfg: Config, model, iters_per_epoch: int,
                  sample_batch: Dict[str, np.ndarray], seed: int = 0):
+        from .. import ops
+        ops.configure(bool(cfg.use_pallas) and jax.default_backend() == "tpu")
         self.cfg = cfg
         self.model = model
         self.mesh = make_mesh(cfg.dp_size, cfg.batch_size)
@@ -236,16 +238,23 @@ class Trainer:
         return probs, loss
 
     # ------------------------------------------------------------------
-    def train_step(self, batch: Dict[str, np.ndarray]) -> float:
+    def train_step(self, batch: Dict[str, np.ndarray],
+                   on_device: bool = False) -> float:
         rng, self._rng = jax.random.split(self._rng)
-        dbatch = self._device_batch(batch)
+        dbatch = batch if on_device else self._device_batch(batch)
         self.state, loss = self._train_step(self.state, dbatch, rng)
         return loss
 
-    def eval_step(self, batch: Dict[str, np.ndarray]):
-        dbatch = self._device_batch(batch)
+    def eval_step(self, batch: Dict[str, np.ndarray],
+                  on_device: bool = False):
+        dbatch = batch if on_device else self._device_batch(batch)
         probs, loss = self._eval_step(self.state, dbatch)
         return np.asarray(probs), float(loss)
+
+    def prefetch(self, loader, depth: int = 2):
+        """Iterate a host loader with device transfers ``depth`` ahead."""
+        from ..data.pipeline import device_prefetch
+        return device_prefetch(loader, self._device_batch, depth)
 
     def current_lr(self) -> float:
         return float(self.schedule(self.state.step))
