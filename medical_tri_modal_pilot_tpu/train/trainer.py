@@ -115,7 +115,7 @@ def compute_loss(cfg: Config, logits, rmse, targets, targets_aux,
     if "multi" in cfg.model:
         # logits [4, B]; mask out invalid subsets per sample
         tgt = jnp.broadcast_to(targets[None], logits.shape)
-        w = 1.0 - _MULTITOKEN_MISSING.T[:, missing_num]          # [4, B]
+        w = 1.0 - jnp.asarray(_MULTITOKEN_MISSING).T[:, missing_num]  # [4, B]
         losses = _bce(logits, tgt)
         return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
     if "mbt_vnoshnoavgtr" in cfg.model:
