@@ -36,24 +36,38 @@ from .modules import (MultiHeadAttention, StdLayerNorm, FeedForward,
 # InfoNCE
 # ---------------------------------------------------------------------------
 
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Gradient-safe unit normalization: rsqrt(sum_sq + eps) keeps the
+    backward pass finite at the exact-zero vectors an all-missing modality
+    produces (jnp.linalg.norm has a NaN gradient at 0)."""
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
+
+
 def info_nce(query: jnp.ndarray, positive: jnp.ndarray,
              negatives: Optional[jnp.ndarray] = None,
-             temperature: float = 0.1) -> jnp.ndarray:
+             temperature: float = 0.1,
+             weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """InfoNCE loss. query/positive: [B, D]; negatives: [B, N, D] or None
     (in-batch negatives: every other positive, the reference's
-    'unpaired' mode with scrambled negatives, infonce.py:11-176)."""
-    q = query / jnp.linalg.norm(query, axis=-1, keepdims=True).clip(1e-8)
-    p = positive / jnp.linalg.norm(positive, axis=-1, keepdims=True).clip(1e-8)
+    'unpaired' mode with scrambled negatives, infonce.py:11-176).
+    ``weights`` ([B], e.g. modality-present indicators) masks samples out
+    of the mean."""
+    q = l2_normalize(query)
+    p = l2_normalize(positive)
     if negatives is None:
         logits = q @ p.T / temperature                   # [B, B]
         labels = jnp.arange(q.shape[0])
-        return -jnp.mean(jax.nn.log_softmax(logits, axis=-1)[
-            labels, labels])
-    n = negatives / jnp.linalg.norm(negatives, axis=-1, keepdims=True).clip(1e-8)
-    pos_logit = jnp.sum(q * p, axis=-1, keepdims=True) / temperature
-    neg_logits = jnp.einsum("bd,bnd->bn", q, n) / temperature
-    logits = jnp.concatenate([pos_logit, neg_logits], axis=1)
-    return -jnp.mean(jax.nn.log_softmax(logits, axis=-1)[:, 0])
+        per_sample = -jax.nn.log_softmax(logits, axis=-1)[labels, labels]
+    else:
+        n = l2_normalize(negatives)
+        pos_logit = jnp.sum(q * p, axis=-1, keepdims=True) / temperature
+        neg_logits = jnp.einsum("bd,bnd->bn", q, n) / temperature
+        logits = jnp.concatenate([pos_logit, neg_logits], axis=1)
+        per_sample = -jax.nn.log_softmax(logits, axis=-1)[:, 0]
+    if weights is None:
+        return jnp.mean(per_sample)
+    w = weights.astype(per_sample.dtype)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -211,3 +225,69 @@ class FEATURE_TEMPORAL_V1(nn.Module):
         logits = ClsHead(D, cfg.output_dim, cfg.activation, dtype=dt,
                          name="fc_list")(h, deterministic)[..., 0]
         return logits, None, None
+
+
+# ---------------------------------------------------------------------------
+# LocationAwareAttention + MaskCNN (unused-in-live-path primitives kept for
+# inventory parity, src/transformer/attention.py:148-237, module.py:170-239)
+# ---------------------------------------------------------------------------
+
+class LocationAwareAttention(nn.Module):
+    """Hybrid content+location attention (Chorowski et al.): a 1-D conv
+    over the previous alignment contributes a location term to the score
+    (attention.py:148-237). Single-head, additive form."""
+    dim: int
+    smoothing: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, value, last_align: Optional[jnp.ndarray] = None):
+        B, Lq, _ = query.shape
+        Lv = value.shape[1]
+        if last_align is None:
+            last_align = jnp.zeros((B, Lv), self.dtype)
+        loc = nn.Conv(self.dim, (3,), padding="SAME", dtype=self.dtype,
+                      name="loc_conv")(last_align[..., None])     # [B, Lv, D]
+        q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                     name="query_proj")(query)                     # [B, Lq, D]
+        v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                     name="value_proj")(value)                     # [B, Lv, D]
+        bias = self.param("score_bias", nn.initializers.zeros, (self.dim,))
+        e = jnp.tanh(q[:, :, None, :] + v[:, None, :, :]
+                     + loc[:, None, :, :] + bias)                  # [B,Lq,Lv,D]
+        score = nn.Dense(1, use_bias=False, dtype=self.dtype,
+                         name="score_proj")(e)[..., 0]             # [B,Lq,Lv]
+        if self.smoothing:
+            s = nn.sigmoid(score)
+            align = s / jnp.sum(s, axis=-1, keepdims=True).clip(1e-8)
+        else:
+            align = jax.nn.softmax(score, axis=-1)
+        ctx = jnp.einsum("bqv,bvd->bqd", align.astype(value.dtype), value)
+        return ctx, align[:, -1, :]
+
+
+class MaskCNN(nn.Module):
+    """Conv stack that re-zeroes positions beyond each sample's length
+    after every conv — the reference's MaskCNN (module.py:170-239) for
+    speech-style 2-D inputs [B, 1, D, T]. Lengths are per-sample time
+    lengths; downsampling halves them per strided conv."""
+    out_channels: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, seq_lengths):
+        # NCHW [B, 1, D, T] -> NHWC
+        x = jnp.transpose(x.astype(self.dtype), (0, 2, 3, 1))
+        lengths = seq_lengths.astype(jnp.int32)
+        for i, stride in enumerate((2, 1)):
+            x = nn.Conv(self.out_channels, (3, 3), strides=(stride, stride),
+                        padding="SAME", use_bias=False, dtype=self.dtype,
+                        name=f"conv{i}")(x)
+            x = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                             name=f"bn{i}")(x)
+            x = jnp.clip(x, 0.0, 20.0)      # Hardtanh(0, 20)
+            lengths = (lengths + stride - 1) // stride if stride > 1 else lengths
+            t = x.shape[2]
+            keep = (jnp.arange(t)[None, :] < lengths[:, None])
+            x = x * keep[:, None, :, None].astype(x.dtype)
+        return jnp.transpose(x, (0, 3, 1, 2)), lengths

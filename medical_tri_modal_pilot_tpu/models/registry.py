@@ -54,6 +54,12 @@ _REGISTRY: Dict[str, Callable] = {
 }
 
 
+def _register_legacy_families() -> None:
+    """Legacy families (builder/models/{1,2,4,5,6}_*) — see legacy.py."""
+    from .legacy import register_legacy
+    register_legacy(register)
+
+
 def get_model(cfg: Config):
     """Instantiate the flax module for cfg.model."""
     name = cfg.model
@@ -69,3 +75,6 @@ def available_models():
 
 def register(name: str, ctor: Callable) -> None:
     _REGISTRY[name] = ctor
+
+
+_register_legacy_families()

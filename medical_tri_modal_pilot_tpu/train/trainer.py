@@ -205,12 +205,18 @@ class Trainer:
         missing_num = compute_missing_num(cfg, batch["missing"])
 
         def loss_fn(params):
-            (logits, rmse, _aux), new_bs = self._apply(
+            (logits, rmse, aux), new_bs = self._apply(
                 params, state.batch_stats, batch, missing_num, False, rng)
             loss = compute_loss(cfg, logits.astype(jnp.float32),
                                 None if rmse is None else rmse.astype(jnp.float32),
                                 batch["target"], batch["target_aux"],
                                 batch["missing"], missing_num)
+            if aux is not None:
+                # model-computed auxiliary loss (the auxcpc_* contrastive
+                # family, auxcpc_mbt.py:193-204); weighted like the
+                # reference's aux term
+                loss = loss + cfg.auxiliary_loss_weight * aux.astype(
+                    jnp.float32)
             return loss, new_bs
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
