@@ -17,7 +17,7 @@ from medical_tri_modal_pilot_tpu.data.indexer import patient_wise_ordering
 from medical_tri_modal_pilot_tpu.data.pipeline import get_data_loaders
 from medical_tri_modal_pilot_tpu.models import get_model
 from medical_tri_modal_pilot_tpu.train.checkpoints import (
-    ckpt_path, load_checkpoint, restore_into_state)
+    AsyncCheckpointer, ckpt_path, load_checkpoint, restore_into_state)
 from medical_tri_modal_pilot_tpu.train.logger import (Logger,
                                                       ResultsAggregator,
                                                       make_setting_file)
@@ -98,6 +98,10 @@ def main() -> None:
 
         iteration = 0
         t_start = time.time()
+        async_ckpt = AsyncCheckpointer()
+        step_ckpt_path = ckpt_path(seed_cfg.dir_result,
+                                   seed_cfg.project_name, "last",
+                                   k_indx, seed_cfg.seed)
         for epoch in range(start_epoch, seed_cfg.epochs + 1):
             epoch_loss = 0.0
             for it, batch in enumerate(trainer.prefetch(train_loader)):
@@ -110,10 +114,18 @@ def main() -> None:
                     loss_f = float(loss)
                     epoch_loss += loss_f
                     logger.log_train(loss_f, trainer.current_lr(), iteration)
+                if (seed_cfg.checkpoint_every > 0
+                        and iteration % seed_cfg.checkpoint_every == 0):
+                    # step-granular async save for crash recovery
+                    # (resume with --checkpoint --last)
+                    async_ckpt.save(step_ckpt_path, trainer.state,
+                                    logger.best_score, epoch,
+                                    logger.best_iter, iteration)
             # per-epoch validation (2_train.py:213-287)
             if len(val_loader) > 0:
                 val_loss = run_eval(trainer, val_loader, logger)
                 logger.add_validation_logs(iteration, val_loss)
+            async_ckpt.wait()   # don't race the epoch-level 'last' save
             logger.save(trainer.state, iteration, epoch)
             dt = time.time() - t_start
             print(f"epoch {epoch}/{seed_cfg.epochs} done "

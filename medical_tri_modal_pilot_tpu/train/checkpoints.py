@@ -64,3 +64,51 @@ def restore_into_state(state, payload: Dict[str, Any], with_optimizer: bool = Tr
     if with_optimizer and payload.get("optimizer") is not None:
         new = new.replace(opt_state=put_like(state.opt_state, payload["optimizer"]))
     return new
+
+
+class AsyncCheckpointer:
+    """Periodic non-blocking checkpointing (SURVEY.md §5: the reference's
+    only recovery is per-epoch best/last saves, 2_train.py:86-107; here
+    --checkpoint-every N adds step-granular saves with the serialization and
+    disk write off the training thread, orbax-style async semantics with the
+    reference's single-file .pth contract)."""
+
+    def __init__(self):
+        import threading
+        self._thread: Optional[Any] = None
+        self._lock = threading.Lock()
+
+    def save(self, path: str, state, score: float, epoch: int,
+             best_step: int = 0, last_step: int = 0) -> None:
+        """Snapshot device arrays (blocks only for D2H), then write in a
+        background thread. A still-running previous write is joined first
+        so at most one write is in flight."""
+        import threading
+        self.wait()
+        payload = {
+            "model": _to_numpy({"params": state.params,
+                                "batch_stats": state.batch_stats}),
+            "optimizer": _to_numpy(state.opt_state),
+            "best_step": best_step,
+            "last_step": last_step,
+            "score": float(score),
+            "epoch": int(epoch),
+            "step": int(state.step),
+        }
+
+        def _write():
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(payload, f, pickle.HIGHEST_PROTOCOL)
+            os.replace(tmp, path)
+
+        with self._lock:
+            self._thread = threading.Thread(target=_write, daemon=True)
+            self._thread.start()
+
+    def wait(self) -> None:
+        with self._lock:
+            t = self._thread
+        if t is not None:
+            t.join()

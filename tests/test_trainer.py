@@ -78,3 +78,29 @@ def test_vnosh_loss_masks_missing_heads():
     w = 1.0 - missing.T
     expected = float((l * w).sum() / w.sum())
     assert float(loss) == pytest.approx(expected, rel=1e-6)
+
+
+def test_async_checkpointer(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+    from medical_tri_modal_pilot_tpu.train.checkpoints import (
+        AsyncCheckpointer, load_checkpoint)
+
+    class FakeState:
+        params = {"w": jnp.arange(4.0)}
+        batch_stats = {}
+        opt_state = {"m": jnp.zeros(4)}
+        step = jnp.asarray(7)
+
+    path = str(tmp_path / "ckpts" / "last_fold0_seed412.pth")
+    ck = AsyncCheckpointer()
+    ck.save(path, FakeState(), score=0.5, epoch=2, last_step=7)
+    ck.wait()
+    payload = load_checkpoint(path)
+    assert payload["step"] == 7 and payload["epoch"] == 2
+    np.testing.assert_array_equal(payload["model"]["params"]["w"],
+                                  np.arange(4.0))
+    # second save overwrites atomically
+    ck.save(path, FakeState(), score=0.9, epoch=3, last_step=9)
+    ck.wait()
+    assert load_checkpoint(path)["epoch"] == 3
