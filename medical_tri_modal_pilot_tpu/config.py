@@ -123,6 +123,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--img-model-type', type=str, default="swin",
                         choices=["resnet18", "resnet50", "swin", "vit", "maxvit"])
     parser.add_argument('--img-pretrain', type=str, default="Yes", choices=["No", "Yes"])
+    parser.add_argument('--img-pretrain-path', type=str, default=None,
+                        help='converted torchvision weights for the frozen '
+                             'image encoder (tools/convert_torchvision.py); '
+                             'replaces the reference\'s NFS checkpoint load '
+                             '(tri_mbt_vsltcls.py:95-100)')
     parser.add_argument('--image-size', type=int, default=224, choices=[224, 512])
     parser.add_argument('--image-train-type', type=str, default="resize_affine_crop",
                         choices=["random", "resize", "resize_crop", "resize_affine_crop", "randaug"])
@@ -264,6 +269,7 @@ class Config:
     vit_patch_size: int
     img_model_type: str
     img_pretrain: str
+    img_pretrain_path: Optional[str]
     image_size: int
     image_train_type: str
     image_test_type: str

@@ -64,6 +64,11 @@ class WindowAttention(nn.Module):
     def __call__(self, x):  # x: [B, H, W, C]
         B, H, Wd, C = x.shape
         win, shift = self.window, self.shift
+        # torchvision clamps the shift to 0 when the window covers the
+        # whole map (swin_t last stage: 7x7 with window 7) — required for
+        # pretrained-weight parity
+        if win >= min(H, Wd):
+            shift = 0
         nh, dh = self.num_heads, self.dim // self.num_heads
 
         if shift > 0:
@@ -125,7 +130,7 @@ class SwinBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(h)
-        h = nn.gelu(h)
+        h = jax.nn.gelu(h, approximate=False)  # torch GELU parity
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         return x + h
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -24,7 +25,7 @@ class ViTBlock(nn.Module):
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h)
+        h = jax.nn.gelu(h, approximate=False)  # torch GELU parity
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         return x + h
 

@@ -63,6 +63,52 @@ _MULTITOKEN_MISSING = np.array([
 ], dtype=np.float32)
 
 
+def graft_pretrained_encoder(params, path: str):
+    """Replace every ``img_encoder`` subtree with converted torchvision
+    weights (tools/convert_torchvision.py output) — the TPU-native stand-in
+    for the reference's in-constructor NFS checkpoint load
+    (tri_mbt_vsltcls.py:95-100). Leaf shapes must match exactly."""
+    import pickle
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    pre = payload["params"] if isinstance(payload, dict) and \
+        "params" in payload else payload
+
+    def graft(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k == "img_encoder":
+                tmpl_shapes = jax.tree.map(lambda x: x.shape, v)
+                new_shapes = jax.tree.map(lambda x: np.asarray(x).shape, pre)
+                if tmpl_shapes != new_shapes:
+                    flat_t = jax.tree_util.tree_flatten_with_path(tmpl_shapes)[0]
+                    flat_n = dict(jax.tree_util.tree_flatten_with_path(
+                        new_shapes)[0])
+                    for kp, shape in flat_t:
+                        other = flat_n.get(kp)
+                        if other != shape:
+                            raise ValueError(
+                                "pretrained encoder shapes do not match the "
+                                f"model at {jax.tree_util.keystr(kp)}: model "
+                                f"{shape} vs file {other}")
+                    raise ValueError(
+                        "pretrained encoder tree structure does not match "
+                        "the model")
+                out[k] = jax.tree.map(
+                    lambda t, s: jnp.asarray(s, dtype=t.dtype), v, pre)
+            else:
+                out[k] = graft(v)
+        return out
+
+    import flax.core
+    was_frozen = isinstance(params, flax.core.FrozenDict)
+    grafted = graft(flax.core.unfreeze(params) if was_frozen else dict(params))
+    return flax.core.freeze(grafted) if was_frozen else grafted
+
+
 def build_schedule(cfg: Config, iters_per_epoch: int) -> Callable:
     max_lr = cfg.lr_init * math.sqrt(cfg.batch_size)
     if cfg.lr_scheduler == "CosineAnnealing":
@@ -171,6 +217,8 @@ class Trainer:
                 {"params": init_rng, "dropout": init_rng},
                 batch, missing_num, True)
         params = variables["params"]
+        if cfg.img_pretrain_path:
+            params = graft_pretrained_encoder(params, cfg.img_pretrain_path)
         batch_stats = variables.get("batch_stats", FrozenDict())
         rep = replicated_sharding(self.mesh)
         params = jax.device_put(params, rep)
