@@ -51,6 +51,9 @@ def run_eval(trainer, loader, logger) -> float:
 def main() -> None:
     cfg = parse_config()
     make_setting_file(cfg)
+    if cfg.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
     if cfg.profile_dir:
         # jax.profiler trace of the first steps (SURVEY.md §5: the reference
         # has no profiler hooks; this is the TPU-native equivalent)

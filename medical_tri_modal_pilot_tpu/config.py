@@ -185,6 +185,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help='activation precision; params/optimizer stay fp32')
     parser.add_argument('--use-pallas', type=int, default=1, choices=[0, 1],
                         help='use Pallas fused attention on TPU (XLA fallback otherwise)')
+    parser.add_argument('--debug-nans', type=int, default=0, choices=[0, 1],
+                        help='enable jax_debug_nans — the TPU-native analog '
+                             'of the reference\'s always-on '
+                             'torch.autograd.set_detect_anomaly (2_train.py:31)')
     parser.add_argument('--dp-size', type=int, default=0,
                         help='data-parallel mesh size; 0 = all local devices')
     parser.add_argument('--checkpoint-every', type=int, default=0,
@@ -301,6 +305,7 @@ class Config:
     # TPU-native
     precision: str
     use_pallas: int
+    debug_nans: int
     dp_size: int
     checkpoint_every: int
     profile_dir: Optional[str]

@@ -44,6 +44,9 @@ _REGISTRY: Dict[str, Callable] = {
     "tri_mt_v1": M.MT_FUSION_MODEL,
     "biimg_mt_v1": M.MT_FUSION_MODEL,
     "bitxt_mt_v1": M.MT_FUSION_MODEL,
+    # mt_v1.py references an undefined MultimodalTransformerEncoder in the
+    # reference (dead file); mapped to the working concat-fusion core here
+    "mt_v1": M.MT_FUSION_MODEL,
     # unimodal
     "unimodal_transformer": M.UNIMODAL_TRANSFORMER,
     # legacy / baseline families (SURVEY.md §2.5)
