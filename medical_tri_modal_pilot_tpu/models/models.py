@@ -356,7 +356,8 @@ class MT_FUSION_MODEL(nn.Module):
         x = _class_input(cfg, joint[:, 0, :], demo, "after_concat")
         logits = ClsHead(cfg.transformer_dim, cfg.output_dim, cfg.activation,
                          dtype=x.dtype, name="fc_list")(x, deterministic)
-        return logits[..., 0], None, None
+        return (logits[..., 0] if cfg.output_dim == 1
+                else logits), None, None
 
 
 class UNIMODAL_TRANSFORMER(nn.Module):
@@ -389,7 +390,8 @@ class UNIMODAL_TRANSFORMER(nn.Module):
         x = _class_input(cfg, enc_out[:, 0, :], demo, "final")
         logits = ClsHead(cfg.transformer_dim, cfg.output_dim, cfg.activation,
                          dtype=x.dtype, name="fc_list")(x, deterministic)
-        return logits[..., 0], None, None
+        return (logits[..., 0] if cfg.output_dim == 1
+                else logits), None, None
 
 
 class _MultitokenBase(nn.Module):

@@ -93,8 +93,17 @@ class Evaluator:
         self.best_auc = 0.0
 
     def add_batch(self, y_true, y_prob, rmse: Optional[np.ndarray] = None):
-        self._y.append(np.asarray(y_true).reshape(-1))
-        self._p.append(np.asarray(y_prob).reshape(-1))
+        y = np.asarray(y_true)
+        p = np.asarray(y_prob)
+        if p.ndim == 2 and y.ndim == 1:
+            # classification/softmax mode: integer hour-bucket labels vs
+            # [B, K] probabilities — micro-average by one-hotting (the
+            # reference's evaluator cannot consume this combination at
+            # all, metrics.py:49-70; this is the graceful equivalent)
+            y = np.eye(p.shape[1], dtype=np.float32)[y.astype(int).clip(
+                0, p.shape[1] - 1)]
+        self._y.append(y.reshape(-1))
+        self._p.append(p.reshape(-1))
         if rmse is not None:
             self._rmse.append(np.asarray(rmse).reshape(-1))
 
