@@ -225,7 +225,15 @@ class TRI_MBT_V1(nn.Module):
                          ).astype(logits.dtype)                   # [B, M]
         out = jnp.einsum("bm,mb->b", mix, logits,
                          precision=jax.lax.Precision.HIGHEST)
-        return out, None, None
+        rmse = None
+        if "rmse" in cfg.auxiliary_loss_type:
+            # per-modality rmse heads mixed the same missing-aware way
+            # (tri_mbt_v2.py:242-247)
+            r = nn.Dense(1, dtype=stack.dtype,
+                         name="rmse_layer")(stack)[..., 0]        # [M, B]
+            rmse = jnp.einsum("bm,mb->b", mix, r,
+                              precision=jax.lax.Precision.HIGHEST)
+        return out, rmse, None
 
 
 class TRI_MBT_VFLEXIBLE(nn.Module):

@@ -78,10 +78,16 @@ class Logger:
         (logger.py:115-127,166-177). Returns True if best improved."""
         m = self.val_results or {"auc": 0.0, "apr": 0.0}
         score = (m["auc"] or 0.0) + (m["apr"] or 0.0)
+        if score != score:          # nan val metrics (e.g. empty val split)
+            score = 0.0
         last = ckpt_path(self.cfg.dir_result, self.cfg.project_name, "last",
                          self.fold, self.seed)
         save_checkpoint(last, state, score, epoch, self.best_iter, step)
-        if score > self.best_score:
+        best = ckpt_path(self.cfg.dir_result, self.cfg.project_name,
+                         "best", self.fold, self.seed)
+        # always promote the first save so a best ckpt exists even when
+        # validation never ran (3_test defaults to best_*.pth)
+        if score > self.best_score or not os.path.exists(best):
             self.best_score = score
             self.best_auc = m["auc"] or 0.0
             self.best_iter = step
