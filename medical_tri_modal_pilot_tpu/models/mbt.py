@@ -108,7 +108,9 @@ class MBTFusion(nn.Module):
             else:
                 key_masks.append(None)
                 b_key_masks.append(None)
-            h = StdLayerNorm(D, dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
+            # torch nn.LayerNorm in the reference (mbt_encoder.py:683) — NOT
+            # the custom std-based LayerNorm used inside encoder-layer prenorms
+            h = nn.LayerNorm(dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
             if self.use_pe[m]:
                 h = h + positional_encoding(L, D, self.dtype)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -295,7 +297,9 @@ class MultitokenMBTFusion(nn.Module):
                 b_key_masks.append(full)
             else:
                 b_key_masks.append(None)
-            h = StdLayerNorm(D, dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
+            # torch nn.LayerNorm in the reference (mbt_encoder.py:683) — NOT
+            # the custom std-based LayerNorm used inside encoder-layer prenorms
+            h = nn.LayerNorm(dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
             if self.use_pe[m]:
                 h = h + positional_encoding(L, D, self.dtype)
             xs.append(nn.Dropout(self.dropout)(h, deterministic=deterministic))
@@ -399,7 +403,9 @@ class MultitokenMBTVSLTMAINFusion(nn.Module):
                 b_key_masks.append(full)
             else:
                 b_key_masks.append(None)
-            h = StdLayerNorm(D, dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
+            # torch nn.LayerNorm in the reference (mbt_encoder.py:683) — NOT
+            # the custom std-based LayerNorm used inside encoder-layer prenorms
+            h = nn.LayerNorm(dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
             if self.use_pe[m]:
                 h = h + positional_encoding(L, D, self.dtype)
             xs.append(nn.Dropout(self.dropout)(h, deterministic=deterministic))
