@@ -185,6 +185,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help='activation precision; params/optimizer stay fp32')
     parser.add_argument('--use-pallas', type=int, default=1, choices=[0, 1],
                         help='use Pallas fused attention on TPU (XLA fallback otherwise)')
+    parser.add_argument('--worker-type', type=str, default='thread',
+                        choices=['thread', 'process'],
+                        help='data-loader worker pool: GIL-releasing threads '
+                             '(default) or forked processes (the reference '
+                             'DataLoader model, data_preprocess.py:89-95)')
     parser.add_argument('--debug-nans', type=int, default=0, choices=[0, 1],
                         help='enable jax_debug_nans — the TPU-native analog '
                              'of the reference\'s always-on '
@@ -305,6 +310,7 @@ class Config:
     # TPU-native
     precision: str
     use_pallas: int
+    worker_type: str
     debug_nans: int
     dp_size: int
     checkpoint_every: int

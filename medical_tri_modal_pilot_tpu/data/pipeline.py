@@ -28,20 +28,59 @@ def _stack(samples: List[dict]) -> Batch:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
+# ---------------------------------------------------------------------------
+# process workers (fork): the dataset transfers copy-on-write through this
+# module global — no pickling of native caches / h5 stores
+# ---------------------------------------------------------------------------
+
+_WORKER_DATASET = None
+
+
+def _worker_init():
+    ds = _WORKER_DATASET
+    # file handles opened pre-fork are not safe to share; drop them so each
+    # worker lazily reopens its own
+    bioemb = getattr(ds, "bioemb", None)
+    if bioemb is not None:
+        bioemb._h5 = None
+
+
+def _worker_get(idx: int):
+    return _WORKER_DATASET.__getitem__(idx)
+
+
 class BatchLoader:
     """Iterates a dataset in fixed-size batches with worker threads and a
     bounded prefetch queue. drop_last is always on (static batch shapes)."""
 
     def __init__(self, dataset, batch_size: int, sampler, num_workers: int = 4,
-                 prefetch: int = 2):
+                 prefetch: int = 2, worker_type: str = "thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.worker_type = worker_type
 
     def __len__(self) -> int:
         return len(self.dataset) // self.batch_size
+
+    def _make_pool(self):
+        if self.worker_type == "process":
+            # fork + module-global dataset: the index tables and native
+            # record cache transfer copy-on-write (the reference used torch
+            # DataLoader worker processes, data_preprocess.py:89-95)
+            global _WORKER_DATASET
+            import multiprocessing
+            _WORKER_DATASET = self.dataset
+            ctx = multiprocessing.get_context("fork")
+            pool = ctx.Pool(self.num_workers, initializer=_worker_init)
+            return pool, lambda p, idx: p.map(_worker_get, idx), \
+                lambda p: (p.terminate(), p.join())
+        pool = ThreadPoolExecutor(self.num_workers)
+        return pool, \
+            lambda p, idx: list(p.map(self.dataset.__getitem__, idx)), \
+            lambda p: p.shutdown(wait=False, cancel_futures=True)
 
     def __iter__(self) -> Iterator[Batch]:
         indices = self.sampler.epoch_indices()
@@ -52,13 +91,16 @@ class BatchLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            pool, run, close = self._make_pool()
+            try:
                 for b in range(n_batches):
                     if stop.is_set():
                         break
                     batch_idx = indices[b * self.batch_size:(b + 1) * self.batch_size]
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                    samples = run(pool, batch_idx)
                     q.put(_stack(samples))
+            finally:
+                close(pool)
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -104,11 +146,15 @@ def get_data_loaders(cfg: Config, patient_dict=None, keys_list=None,
     test_data = EvalDataset(cfg, test_index, "test", seed=cfg.seed)
 
     sampler = WeightedClassSampler(train_data.type_list, seed=cfg.seed)
-    train_loader = BatchLoader(train_data, cfg.batch_size, sampler, cfg.num_workers)
+    wt = cfg.worker_type
+    train_loader = BatchLoader(train_data, cfg.batch_size, sampler,
+                               cfg.num_workers, worker_type=wt)
     val_loader = BatchLoader(val_data, cfg.batch_size,
-                             SequentialSampler(len(val_data)), cfg.num_workers)
+                             SequentialSampler(len(val_data)), cfg.num_workers,
+                             worker_type=wt)
     test_loader = BatchLoader(test_data, cfg.batch_size,
-                              SequentialSampler(len(test_data)), cfg.num_workers)
+                              SequentialSampler(len(test_data)),
+                              cfg.num_workers, worker_type=wt)
     return train_loader, val_loader, test_loader
 
 
@@ -118,7 +164,8 @@ def get_test_data_loader(cfg: Config) -> BatchLoader:
     test_index = build_eval_index(cfg, test_paths, "test")
     test_data = EvalDataset(cfg, test_index, "test", seed=cfg.seed)
     return BatchLoader(test_data, cfg.batch_size,
-                       SequentialSampler(len(test_data)), cfg.num_workers)
+                       SequentialSampler(len(test_data)), cfg.num_workers,
+                       worker_type=cfg.worker_type)
 
 
 def device_prefetch(iterator, put_fn, depth: int = 2):

@@ -68,3 +68,16 @@ def test_evaluator_multiclass_micro():
     ev.add_batch(np.array([0, 1]), probs)
     m = ev.performance_metric()
     assert m["auc"] == 1.0
+
+
+def test_process_worker_loader_matches_thread(synth, tmp_path):
+    """Forked process workers produce the same eval batches as threads."""
+    import numpy as np
+    cfg = _cfg(synth, tmp_path, "bce", 1).replace(worker_type="thread")
+    from medical_tri_modal_pilot_tpu.data.pipeline import get_test_data_loader
+    t_batches = list(get_test_data_loader(cfg))
+    p_batches = list(get_test_data_loader(cfg.replace(worker_type="process")))
+    assert len(t_batches) == len(p_batches) > 0
+    for tb, pb in zip(t_batches, p_batches):
+        for k in tb:
+            np.testing.assert_array_equal(tb[k], pb[k], err_msg=k)
