@@ -176,7 +176,9 @@ _GROUP_CONTRIBUTORS = ((0, 1, 2), (0, 1), (0, 2), (1, 2))
 _GROUP_CASE_SUBSETS = (
     ((0, 1, 2), (0, 1), (0, 2), (0,)),   # group vit
     ((0, 1), (0, 1), (0,), (0,)),        # group vi
-    ((0, 1), (0,), (0, 1), (1,)),        # group vt
+    ((0, 1), (0,), (0, 1), (0,)),        # group vt (case 3 falls back to
+                                         # the vslt contribution — verified
+                                         # against the live reference map)
     ((0, 1), (0,), (1,), (0,)),          # group it (case 3 unused downstream)
 )
 

@@ -271,3 +271,126 @@ def test_unimodal_transformer_full_model_parity(ref):
             batch, jnp.zeros(B, jnp.int32), True)
     np.testing.assert_allclose(np.asarray(logits),
                                t2n(ref_logits)[:, 0], atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# multitoken MBT parity (the vmulti family fusion core)
+# ---------------------------------------------------------------------------
+
+def test_multitoken_mbt_parity(ref):
+    """TrimodalTransformerEncoder_Multitokens_MBT vs MultitokenMBTFusion
+    with copied weights. Content lengths must match the reference's
+    hand-built masks: img=49, txt=128 tokens (mbt_encoder.py:399-423)."""
+    from medical_tri_modal_pilot_tpu.models.mbt import MultitokenMBTFusion
+
+    # the reference builds its block masks with .cuda() at __init__
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        from builder.models.src.transformer.mbt_encoder import (
+            TrimodalTransformerEncoder_Multitokens_MBT)
+        torch.manual_seed(11)
+        d, h, layers, bn, b = 32, 4, 2, 4, 5
+        lens = (20, 49, 128)
+        ref_enc = TrimodalTransformerEncoder_Multitokens_MBT(
+            batch_size=b, n_modality=3, bottlenecks_n=bn, fusion_startidx=0,
+            d_input=d, n_layers=layers, n_head=h, d_model=d, d_ff=4 * d,
+            dropout=0.0, txt_idx=2, use_pe=[False, False, True],
+            mask=[True, True, True])
+        ref_enc.eval()
+
+        rng = np.random.default_rng(11)
+        inputs = [rng.normal(size=(b, L, d)).astype(np.float32)
+                  for L in lens]
+        varying = [np.array([20, 5, 11, 20, 8]), np.full(b, 49),
+                   np.array([2, 5, 128, 60, 2])]
+        missing = np.array([0, 1, 2, 3, 0])
+        with torch.no_grad():
+            ref_out, _ = ref_enc(
+                [torch.tensor(x) for x in inputs],
+                fixed_lengths=[int(L) for L in lens],
+                varying_lengths=[torch.tensor(v.copy()) for v in varying],
+                missing=torch.tensor(missing))
+
+        fusion = MultitokenMBTFusion(
+            n_modality=3, bottlenecks_n=bn, fusion_startidx=0,
+            n_layers=layers, n_head=h, d_model=d, d_ff=4 * d, dropout=0.0,
+            txt_idx=2, use_pe=(False, False, True), mask=(True, True, True))
+        jx = [jnp.asarray(x) for x in inputs]
+        jvar = [jnp.asarray(v) for v in varying]
+        variables = fusion.init(jax.random.PRNGKey(2), jx, jvar,
+                                jnp.asarray(missing))
+        p = jax.tree.map(lambda v: v, dict(variables["params"]))
+        for m in range(3):
+            p[f"cls_tokens_{m}"] = jnp.asarray(
+                t2n(ref_enc.cls_token_per_modality[m]))
+            ln = ref_enc.layer_norms_in[m]
+            p[f"layer_norm_in_{m}"] = {"scale": jnp.asarray(t2n(ln.weight)),
+                                       "bias": jnp.asarray(t2n(ln.bias))}
+        for g in range(4):
+            p[f"bottlenecks_{g}"] = jnp.asarray(t2n(ref_enc.bottlenecks[g]))
+        for layer in range(layers):
+            for m in range(3):
+                rl = ref_enc.layer_stacks[layer][m]
+                p[f"layers_{layer}_{m}"] = _copy_encoder_layer(
+                    rl, dict(p[f"layers_{layer}_{m}"]))
+        with jax.default_matmul_precision("highest"):
+            ours = fusion.apply({"params": p}, jx, jvar, jnp.asarray(missing))
+        for m in range(3):
+            np.testing.assert_allclose(np.asarray(ours[m]), t2n(ref_out[m]),
+                                       atol=3e-4,
+                                       err_msg=f"modality {m}")
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+
+def test_bimodal_mbt_parity(ref):
+    """BimodalTransformerEncoder_MBT vs MBTFusion(n_modality=2): candidates
+    {bi-mean, vslt-only} (mbt_encoder.py:629-632)."""
+    from builder.models.src.transformer.mbt_encoder import (
+        BimodalTransformerEncoder_MBT)
+    torch.manual_seed(5)
+    d, h, layers, bn, b = 32, 4, 2, 2, 4
+    lens = (12, 9)
+    rng = np.random.default_rng(5)
+    ref_enc = BimodalTransformerEncoder_MBT(
+        batch_size=b, n_modality=2, bottlenecks_n=bn, fusion_startidx=0,
+        d_input=d, n_layers=layers, n_head=h, d_model=d, d_ff=4 * d,
+        dropout=0.0, txt_idx=1, use_pe=[False, True], mask=[True, True])
+    ref_enc.eval()
+    inputs = [rng.normal(size=(b, L, d)).astype(np.float32) for L in lens]
+    varying = [np.array([12, 3, 7, 12]), np.array([5, 5, 9, 2])]
+    missing = np.array([0, 1, 0, 1])
+    with torch.no_grad():
+        ref_out, _ = ref_enc(
+            [torch.tensor(x) for x in inputs],
+            fixed_lengths=[int(L) for L in lens],
+            varying_lengths=[torch.tensor(v.copy()) for v in varying],
+            missing=torch.tensor(missing))
+
+    fusion = MBTFusion(n_modality=2, bottlenecks_n=bn, fusion_startidx=0,
+                       n_layers=layers, n_head=h, d_model=d, d_ff=4 * d,
+                       dropout=0.0, txt_idx=1, use_pe=(False, True),
+                       mask=(True, True))
+    jx = [jnp.asarray(x) for x in inputs]
+    jvar = [jnp.asarray(v) for v in varying]
+    variables = fusion.init(jax.random.PRNGKey(3), jx, jvar,
+                            jnp.asarray(missing))
+    p = jax.tree.map(lambda v: v, dict(variables["params"]))
+    for m in range(2):
+        p[f"cls_token_{m}"] = jnp.asarray(
+            t2n(ref_enc.cls_token_per_modality[m]))
+        ln = ref_enc.layer_norms_in[m]
+        p[f"layer_norm_in_{m}"] = {"scale": jnp.asarray(t2n(ln.weight)),
+                                   "bias": jnp.asarray(t2n(ln.bias))}
+    p["bottlenecks"] = jnp.asarray(t2n(ref_enc.bottlenecks))
+    for layer in range(layers):
+        for m in range(2):
+            p[f"layers_{layer}_{m}"] = _copy_encoder_layer(
+                ref_enc.layer_stacks[layer][m],
+                dict(p[f"layers_{layer}_{m}"]))
+    with jax.default_matmul_precision("highest"):
+        ours = fusion.apply({"params": p}, jx, jvar, jnp.asarray(missing))
+    for m in range(2):
+        np.testing.assert_allclose(np.asarray(ours[m]), t2n(ref_out[m]),
+                                   atol=2e-4, err_msg=f"modality {m}")
