@@ -108,8 +108,15 @@ class _Base:
             return img, t, True
         if cfg.multiimages == 0:
             cxr_time, cxr_path = sorted(cxr_li, key=lambda c: (c[0], c[1]))[-1]
-            img = load_cxr(cfg.image_data_path + cxr_path, self.img_kind,
-                           self.image_size, rng)
+            try:
+                img = load_cxr(cfg.image_data_path + cxr_path, self.img_kind,
+                               self.image_size, rng)
+            except (FileNotFoundError, OSError):
+                # pkl metadata references a jpeg missing from
+                # --image-data-path (e.g. the bundled sample_data):
+                # degrade to a missing image instead of crashing
+                img, t = self._zero_image()
+                return img, t, True
             if cfg.realtime == 1:
                 cxr_time = cxr_time - selected_key
             else:
@@ -119,9 +126,15 @@ class _Base:
         infos = sorted(cxr_li, key=lambda c: (c[0], c[1]))[-3:]
         imgs, times = [], []
         for cxr_time, cxr_path in infos:
-            imgs.append(load_cxr(cfg.image_data_path + cxr_path, self.img_kind,
-                                 self.image_size, rng))
+            try:
+                imgs.append(load_cxr(cfg.image_data_path + cxr_path,
+                                     self.img_kind, self.image_size, rng))
+            except (FileNotFoundError, OSError):
+                continue
             times.append(cxr_time - selected_key)
+        if not imgs:
+            img, t = self._zero_image()
+            return img, t, True
         while len(imgs) < 3:
             imgs.append(np.zeros((1, self.image_size, self.image_size), np.float32))
             times.append(10)

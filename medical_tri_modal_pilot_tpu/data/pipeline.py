@@ -99,6 +99,9 @@ class BatchLoader:
                     batch_idx = indices[b * self.batch_size:(b + 1) * self.batch_size]
                     samples = run(pool, batch_idx)
                     q.put(_stack(samples))
+            except BaseException as e:           # propagate, never deadlock
+                q.put(e)
+                return
             finally:
                 close(pool)
             q.put(None)
@@ -110,6 +113,8 @@ class BatchLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()
