@@ -65,7 +65,9 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     for _ in range(WARMUP):
         trainer.state, loss = trainer._train_step(trainer.state, dbatch, rng)
-    jax.block_until_ready(trainer.state.params)
+    _ = float(loss)   # true barrier: jax.block_until_ready returns early on
+    #                   the tunneled TPU backend; only value materialization
+    #                   actually waits for execution
 
     # The TPU may be tunneled/time-shared: consecutive identical windows
     # have been observed to differ ~2x under external load. Take the best
@@ -76,7 +78,9 @@ def main() -> None:
         for _ in range(ITERS):
             trainer.state, loss = trainer._train_step(trainer.state, dbatch,
                                                       rng)
-        jax.block_until_ready(loss)
+        # the final loss depends on the whole donated-state chain, so
+        # materializing it forces every step in the window
+        _ = float(loss)
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     n_chips = len(jax.devices())

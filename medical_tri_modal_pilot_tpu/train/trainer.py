@@ -277,6 +277,37 @@ class Trainer:
                                batch_stats=new_bs, opt_state=new_opt)
         return new_state, loss
 
+    def _train_multi_impl(self, state: TrainState, batches, rng):
+        """lax.scan over a [K, B, ...] super-batch: K optimizer steps in ONE
+        XLA program. Amortizes per-step host dispatch (significant when the
+        device sits behind an RPC tunnel) and lets XLA overlap the next
+        step's loads with the current update."""
+        K = jax.tree.leaves(batches)[0].shape[0]
+        rngs = jax.random.split(rng, K)
+
+        def body(carry, xs):
+            batch, step_rng = xs
+            new_state, loss = self._train_step_impl(carry, batch, step_rng)
+            return new_state, loss
+
+        new_state, losses = jax.lax.scan(body, state, (batches, rngs))
+        return new_state, losses
+
+    def train_multi(self, batches, on_device: bool = False):
+        """Run one optimizer step per leading-axis slice of ``batches``
+        ([K, B, ...]); returns the [K] losses."""
+        rng, self._rng = jax.random.split(self._rng)
+        if not on_device:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import DATA_AXIS
+            sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+            batches = jax.device_put(batches, sh)
+        if not hasattr(self, "_train_multi"):
+            self._train_multi = jax.jit(self._train_multi_impl,
+                                        donate_argnums=(0,))
+        self.state, losses = self._train_multi(self.state, batches, rng)
+        return losses
+
     def _eval_step_impl(self, state: TrainState, batch):
         cfg = self.cfg
         missing_num = compute_missing_num(cfg, batch["missing"])

@@ -1,0 +1,76 @@
+"""Pallas flash-attention kernel numerics vs the XLA reference path
+(interpret mode on CPU; the same code runs compiled on TPU). Covers the
+shape-adaptive block sizes, fully-masked rows (uniform-average semantics),
+array padding, and the custom VJP."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medical_tri_modal_pilot_tpu.kernels.attention import (
+    pallas_masked_attention, _block_sizes)
+from medical_tri_modal_pilot_tpu.models.modules import (
+    masked_softmax_attention)
+
+
+def _mk(B, H, L, D, seed=0):
+    k = jax.random.PRNGKey(seed)
+    kq, kk, kv = jax.random.split(k, 3)
+    q = jax.random.normal(kq, (B, H, L, D), jnp.float32)
+    kx = jax.random.normal(kk, (B, H, L, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, L, D), jnp.float32)
+    return q, kx, v
+
+
+# shapes hitting different block regimes: single-block short streams
+# (img 54, txt 130) and the multi-q-block TIE stream (1005)
+SHAPES = [(3, 2, 54, 32), (2, 4, 130, 64), (2, 2, 517, 64)]
+
+
+@pytest.mark.parametrize("B,H,L,D", SHAPES)
+def test_forward_matches_xla(B, H, L, D):
+    q, k, v = _mk(B, H, L, D)
+    lengths = np.linspace(1, L, B).astype(np.int32)
+    key_mask = jnp.arange(L)[None, :] >= jnp.asarray(lengths)[:, None]
+    ref = masked_softmax_attention(q, k, v, key_mask, 8.0)
+    out = pallas_masked_attention(q, k, v, key_mask, 8.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fully_masked_rows_uniform():
+    """length 0 => every key at MASK_FILL_VALUE => uniform average of V
+    (the reference's txt==3 zeroing relies on this)."""
+    B, H, L, D = 2, 2, 64, 32
+    q, k, v = _mk(B, H, L, D, seed=1)
+    key_mask = jnp.ones((B, L), bool)     # everything masked
+    out = pallas_masked_attention(q, k, v, key_mask, 8.0)
+    expect = jnp.mean(v, axis=2, keepdims=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.broadcast_to(np.asarray(expect), out.shape),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_grads_match_xla():
+    B, H, L, D = 2, 2, 130, 32
+    q, k, v = _mk(B, H, L, D, seed=2)
+    lengths = np.array([130, 40], np.int32)
+    key_mask = jnp.arange(L)[None, :] >= jnp.asarray(lengths)[:, None]
+
+    def loss_ref(q, k, v):
+        return (masked_softmax_attention(q, k, v, key_mask, 8.0) ** 2).sum()
+
+    def loss_ours(q, k, v):
+        return (pallas_masked_attention(q, k, v, key_mask, 8.0) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_ours = jax.grad(loss_ours, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ours, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_block_sizes_adaptive():
+    assert _block_sizes(1005, 1005) == (256, 1024)
+    assert _block_sizes(54, 54) == (128, 128)
+    assert _block_sizes(130, 130) == (256, 256)

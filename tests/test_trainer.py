@@ -104,3 +104,40 @@ def test_async_checkpointer(tmp_path):
     ck.save(path, FakeState(), score=0.9, epoch=3, last_step=9)
     ck.wait()
     assert load_checkpoint(path)["epoch"] == 3
+
+
+def test_train_multi_matches_sequential():
+    """lax.scan multi-step == K sequential train_step calls."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _tiny_cfg, _synthetic_batch
+    from medical_tri_modal_pilot_tpu.models import get_model
+    from medical_tri_modal_pilot_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(batch_size=4, trimodal=False)
+    model = get_model(cfg)
+    K = 3
+    batches = [_synthetic_batch(cfg, 4, seed=i) for i in range(K)]
+    t_seq = Trainer(cfg, model, 10, batches[0], seed=7)
+    t_scan = Trainer(cfg, model, 10, batches[0], seed=7)
+    base = jax.random.PRNGKey(42)
+    rngs = jax.random.split(base, K)
+    # drive the private impls with identical per-step rngs for an exact match
+    dev = [t_seq._device_batch(b) for b in batches]
+    seq_losses = []
+    for i in range(K):
+        t_seq.state, loss = t_seq._train_step(t_seq.state, dev[i], rngs[i])
+        seq_losses.append(float(loss))
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    scan_losses = np.asarray(t_scan._train_multi_impl(
+        t_scan.state, jax.tree.map(jnp.asarray, stacked), base)[1])
+    np.testing.assert_allclose(scan_losses, np.asarray(seq_losses),
+                               rtol=2e-3, atol=2e-3)
+    new_state, _ = jax.jit(t_scan._train_multi_impl)(
+        t_scan.state, jax.tree.map(jnp.asarray, stacked), base)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3),
+        new_state.params, t_seq.state.params)
