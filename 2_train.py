@@ -17,7 +17,8 @@ from medical_tri_modal_pilot_tpu.data.indexer import patient_wise_ordering
 from medical_tri_modal_pilot_tpu.data.pipeline import get_data_loaders
 from medical_tri_modal_pilot_tpu.models import get_model
 from medical_tri_modal_pilot_tpu.train.checkpoints import (
-    AsyncCheckpointer, ckpt_path, load_checkpoint, restore_into_state)
+    AsyncCheckpointer, ckpt_exists, ckpt_path, load_checkpoint_any,
+    restore_into_state)
 from medical_tri_modal_pilot_tpu.train.logger import (Logger,
                                                       ResultsAggregator,
                                                       make_setting_file)
@@ -93,8 +94,8 @@ def main() -> None:
             kind = "last" if seed_cfg.last else "best"
             path = ckpt_path(seed_cfg.dir_result, seed_cfg.project_name, kind,
                              k_indx, seed_cfg.seed)
-            if os.path.exists(path):
-                payload = load_checkpoint(path)
+            if ckpt_exists(path):
+                payload = load_checkpoint_any(seed_cfg.ckpt_backend, path)
                 trainer.state = restore_into_state(trainer.state, payload)
                 logger.best_auc = payload["score"]
                 start_epoch = payload["epoch"]
@@ -140,8 +141,8 @@ def main() -> None:
         kind = "last" if seed_cfg.last and not seed_cfg.best else "best"
         path = ckpt_path(seed_cfg.dir_result, seed_cfg.project_name, kind,
                          k_indx, seed_cfg.seed)
-        if os.path.exists(path):
-            payload = load_checkpoint(path)
+        if ckpt_exists(path):
+            payload = load_checkpoint_any(seed_cfg.ckpt_backend, path)
             trainer.state = restore_into_state(trainer.state, payload,
                                                with_optimizer=False)
         if len(test_loader) > 0:

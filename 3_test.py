@@ -14,19 +14,22 @@ import numpy as np
 from medical_tri_modal_pilot_tpu.config import parse_config
 from medical_tri_modal_pilot_tpu.data.pipeline import get_test_data_loader
 from medical_tri_modal_pilot_tpu.models import get_model
-from medical_tri_modal_pilot_tpu.train.checkpoints import (load_checkpoint,
-                                                           restore_into_state)
+from medical_tri_modal_pilot_tpu.train.checkpoints import (
+    load_checkpoint_any, restore_into_state)
 from medical_tri_modal_pilot_tpu.train.logger import Logger, ResultsAggregator
 from medical_tri_modal_pilot_tpu.train.trainer import Trainer
 
 
 def search_ckpts(root: str):
     found = []
-    for path, _dirs, files in os.walk(root):
+    for path, dirs, files in os.walk(root):
         for fn in files:
             if fn.endswith(".pth"):
                 found.append(os.path.join(path, fn))
-    return sorted(found)
+        for dn in dirs:
+            if dn.endswith(".pth.orbax"):   # orbax backend directories
+                found.append(os.path.join(path, dn[:-len(".orbax")]))
+    return sorted(set(found))
 
 
 def main() -> None:
@@ -51,7 +54,7 @@ def main() -> None:
         model = get_model(cfg)
         sample_batch = next(iter(test_loader))
         trainer = Trainer(cfg, model, 1, sample_batch, seed=cfg.seed)
-        payload = load_checkpoint(path)
+        payload = load_checkpoint_any(cfg.ckpt_backend, path)
         trainer.state = restore_into_state(trainer.state, payload,
                                            with_optimizer=False)
         logger.evaluator.reset()

@@ -196,6 +196,10 @@ def build_parser() -> argparse.ArgumentParser:
                              'torch.autograd.set_detect_anomaly (2_train.py:31)')
     parser.add_argument('--dp-size', type=int, default=0,
                         help='data-parallel mesh size; 0 = all local devices')
+    parser.add_argument('--ckpt-backend', type=str, default='pickle',
+                        choices=['pickle', 'orbax'],
+                        help='checkpoint serialization: single-file pickle '
+                             '(reference .pth layout) or orbax PyTree dirs')
     parser.add_argument('--checkpoint-every', type=int, default=0,
                         help='also save a "last" checkpoint every N steps (0 = per-eval only)')
     parser.add_argument('--profile-dir', type=str, default=None,
@@ -313,6 +317,7 @@ class Config:
     worker_type: str
     debug_nans: int
     dp_size: int
+    ckpt_backend: str
     checkpoint_every: int
     profile_dir: Optional[str]
     # derived

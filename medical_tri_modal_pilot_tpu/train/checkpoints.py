@@ -57,12 +57,26 @@ def restore_into_state(state, payload: Dict[str, Any], with_optimizer: bool = Tr
             lambda t, v: jax.device_put(jnp.asarray(v), t.sharding)
             if hasattr(t, "sharding") else jnp.asarray(v), tmpl, val)
 
+    def like_structure(tmpl, val):
+        """Rebuild ``val`` with ``tmpl``'s tree structure when a serializer
+        lost tuple/namedtuple containers (orbax restores them as lists of
+        dicts). Leaf order matches because optax state fields flatten
+        alphabetically either way (count/mu/nu, trace, ...)."""
+        if jax.tree.structure(tmpl) == jax.tree.structure(val):
+            return val
+        return jax.tree.unflatten(jax.tree.structure(tmpl),
+                                  jax.tree.leaves(val))
+
     new = state.replace(
-        params=put_like(state.params, model["params"]),
-        batch_stats=put_like(state.batch_stats, model["batch_stats"]),
+        params=put_like(state.params, like_structure(state.params,
+                                                     model["params"])),
+        batch_stats=put_like(state.batch_stats,
+                             like_structure(state.batch_stats,
+                                            model["batch_stats"])),
         step=jnp.asarray(payload.get("step", 0), jnp.int32))
     if with_optimizer and payload.get("optimizer") is not None:
-        new = new.replace(opt_state=put_like(state.opt_state, payload["optimizer"]))
+        opt = like_structure(state.opt_state, payload["optimizer"])
+        new = new.replace(opt_state=put_like(state.opt_state, opt))
     return new
 
 
@@ -112,3 +126,66 @@ class AsyncCheckpointer:
             t = self._thread
         if t is not None:
             t.join()
+
+
+# ---------------------------------------------------------------------------
+# orbax backend (SURVEY.md §5: "orbax async checkpointing" — optional,
+# selected by --ckpt-backend orbax; the single-file pickle contract above
+# stays the default for reference-layout compatibility)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(path: str, state, score: float, epoch: int,
+                          best_step: int = 0, last_step: int = 0) -> None:
+    """Save via orbax PyTreeCheckpointer into a ``<path>.orbax`` directory
+    (scalars ride along in the tree)."""
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "model": _to_numpy({"params": state.params,
+                            "batch_stats": state.batch_stats}),
+        "optimizer": _to_numpy(state.opt_state),
+        "meta": {"best_step": best_step, "last_step": last_step,
+                 "score": float(score), "epoch": int(epoch),
+                 "step": int(state.step)},
+    }
+    target = os.path.abspath(path) + ".orbax"
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(target, payload, force=True)
+
+
+def load_checkpoint_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    target = os.path.abspath(path)
+    if not target.endswith(".orbax"):
+        target += ".orbax"
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = ckptr.restore(target)
+    meta = payload.get("meta", {})
+    return {"model": payload["model"], "optimizer": payload.get("optimizer"),
+            **{k: meta.get(k) for k in ("best_step", "last_step", "score",
+                                        "epoch", "step")}}
+
+
+def save_checkpoint_any(backend: str, path: str, state, score: float,
+                        epoch: int, best_step: int = 0,
+                        last_step: int = 0) -> None:
+    if backend == "orbax":
+        save_checkpoint_orbax(path, state, score, epoch, best_step, last_step)
+    else:
+        save_checkpoint(path, state, score, epoch, best_step, last_step)
+
+
+def load_checkpoint_any(backend: str, path: str) -> Dict[str, Any]:
+    """Load whichever form exists, preferring the configured backend —
+    lets runs switch --ckpt-backend and still resume old checkpoints."""
+    has_orbax = path.endswith(".orbax") or os.path.isdir(path + ".orbax")
+    has_pickle = os.path.isfile(path)
+    if has_orbax and (backend == "orbax" or not has_pickle):
+        return load_checkpoint_orbax(path)
+    return load_checkpoint(path)
+
+
+def ckpt_exists(path: str) -> bool:
+    """True if either the pickle file or the orbax directory exists."""
+    return os.path.exists(path) or os.path.isdir(path + ".orbax")

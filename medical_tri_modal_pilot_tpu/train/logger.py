@@ -14,7 +14,7 @@ import time
 from typing import Dict, Optional
 
 from ..config import Config
-from .checkpoints import ckpt_path, save_checkpoint
+from .checkpoints import ckpt_exists, ckpt_path, save_checkpoint_any
 from .metrics import Evaluator
 
 
@@ -82,18 +82,20 @@ class Logger:
             score = 0.0
         last = ckpt_path(self.cfg.dir_result, self.cfg.project_name, "last",
                          self.fold, self.seed)
-        save_checkpoint(last, state, score, epoch, self.best_iter, step)
+        save_checkpoint_any(self.cfg.ckpt_backend, last, state,
+                            score, epoch, self.best_iter, step)
         best = ckpt_path(self.cfg.dir_result, self.cfg.project_name,
                          "best", self.fold, self.seed)
         # always promote the first save so a best ckpt exists even when
         # validation never ran (3_test defaults to best_*.pth)
-        if score > self.best_score or not os.path.exists(best):
+        if score > self.best_score or not ckpt_exists(best):
             self.best_score = score
             self.best_auc = m["auc"] or 0.0
             self.best_iter = step
             best = ckpt_path(self.cfg.dir_result, self.cfg.project_name,
                              "best", self.fold, self.seed)
-            save_checkpoint(best, state, score, epoch, step, step)
+            save_checkpoint_any(self.cfg.ckpt_backend, best, state,
+                                score, epoch, step, step)
             return True
         return False
 

@@ -141,3 +141,38 @@ def test_train_multi_matches_sequential():
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3),
         new_state.params, t_seq.state.params)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """orbax backend: save -> load -> restore_into_state reproduces params
+    and the optax opt_state (tuple structure rebuilt from the template)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _tiny_cfg, _synthetic_batch
+    from medical_tri_modal_pilot_tpu.models import get_model
+    from medical_tri_modal_pilot_tpu.train.checkpoints import (
+        ckpt_exists, load_checkpoint_any, restore_into_state,
+        save_checkpoint_any)
+    from medical_tri_modal_pilot_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(batch_size=4, trimodal=False)
+    model = get_model(cfg)
+    batch = _synthetic_batch(cfg, 4)
+    trainer = Trainer(cfg, model, 10, batch, seed=3)
+    trainer.train_step(batch)
+    path = str(tmp_path / "best_fold0_seed412.pth")
+    save_checkpoint_any("orbax", path, trainer.state, score=0.7, epoch=2,
+                        last_step=1)
+    assert ckpt_exists(path) and not (tmp_path / "best_fold0_seed412.pth").exists()
+
+    payload = load_checkpoint_any("orbax", path)
+    assert int(payload["epoch"]) == 2 and float(payload["score"]) == 0.7
+    fresh = Trainer(cfg, model, 10, batch, seed=99)
+    restored = restore_into_state(fresh.state, payload)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), restored.params, trainer.state.params)
+    assert jax.tree.structure(restored.opt_state) == jax.tree.structure(
+        fresh.state.opt_state)
