@@ -394,3 +394,36 @@ def test_bimodal_mbt_parity(ref):
     for m in range(2):
         np.testing.assert_allclose(np.asarray(ours[m]), t2n(ref_out[m]),
                                    atol=2e-4, err_msg=f"modality {m}")
+
+
+def test_vflexible_head_formula():
+    """TRI_MBT_VFLEXIBLE's masked-softmax cls weighting reproduces the
+    reference formula (tri_mbt_vflexible.py:148-165, 268-286): weights
+    masked per missing case with -1e9, softmaxed over modalities, weighted
+    logits summed over the case's available subset."""
+    torch.manual_seed(0)
+    B = 4
+    logits = torch.randn(3, B)
+    flexavg = torch.randn(3, 1)
+    masks = torch.tensor([[False, False, False], [False, False, True],
+                          [False, True, False], [False, True, True]])
+    missing = torch.tensor([0, 1, 2, 3])
+    w = flexavg.repeat(1, B).clone()
+    w.masked_fill_(masks[missing].permute(1, 0), -1e9)
+    cls_w = torch.softmax(w, dim=0)
+    weighted = logits * cls_w
+    tri = weighted.sum(0)
+    vi = weighted[0] + weighted[1]
+    vt = weighted[0] + weighted[2]
+    vv = weighted[0]
+    expect = torch.stack([tri, vi, vt, vv])[missing, torch.arange(B)]
+
+    # ours (models.py TRI_MBT_VFLEXIBLE body, extracted math)
+    m = np.asarray(masks[missing.numpy()])
+    wj = np.broadcast_to(flexavg.numpy(), (3, B)).copy()
+    wj = np.where(m.T, -1e9, wj)
+    cw = np.asarray(jax.nn.softmax(jnp.asarray(wj), axis=0))
+    wl = logits.numpy() * cw
+    cands = np.stack([wl.sum(0), wl[0] + wl[1], wl[0] + wl[2], wl[0]])
+    ours = cands[missing.numpy(), np.arange(B)]
+    np.testing.assert_allclose(ours, expect.numpy(), atol=1e-6)
