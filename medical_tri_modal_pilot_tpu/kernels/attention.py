@@ -10,10 +10,16 @@ attention.py:38) so fully-masked query rows softmax to uniform over the
 real keys, while array-padding keys (added here to reach tile-aligned
 lengths) are excluded from the denominator entirely.
 
-Layout: q, k, v are [B, H, L, Dh]; the per-sample key mask arrives as a
-lengths vector (key j masked iff j >= lengths[b]). Grid is
-(B*H, q_blocks); each step streams k/v blocks of 128 rows through the MXU
-with running max/denominator accumulators in VMEM scratch.
+Masking is fully general: the kernel streams the caller's boolean mask
+(as int8) alongside k/v rather than assuming tail-contiguity, because the
+early-fusion / MTFusion paths concatenate per-modality masks with padding
+mid-sequence, and the multitoken MBT variants pass full [B, Lq, Lk] block
+masks (mbt_encoder.py:381-423). A 2D key mask is carried as [B, 1, Lk]
+and broadcast over query rows in-kernel; a 3D mask is tiled per q-block.
+
+Layout: q, k, v are [B, H, L, Dh]. Grid is (B*H, q_blocks); each step
+streams k/v blocks through the MXU with running max/denominator
+accumulators in VMEM.
 """
 from __future__ import annotations
 
@@ -54,12 +60,8 @@ def _interpret() -> bool:
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+def _fwd_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float,
                 l_real: int, n_kblocks: int, block_k: int):
-    bh = pl.program_id(0)
-    # lengths_ref is indexed by bh directly (pre-expanded to B*H on host)
-    length = lengths_ref[bh]
-
     q = q_ref[0]                                       # [BLOCK_Q, D]
     acc = jnp.zeros((q.shape[0], q_ref.shape[-1]), jnp.float32)
     m_i = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
@@ -72,9 +74,10 @@ def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+        mblk = m_ref[0, :, pl.ds(kb * block_k, block_k)]  # [1|BQ, BK] int8
+        s = jnp.where(mblk != 0, MASK_FILL_VALUE, s)
         j = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=1)
-        s = jnp.where(j >= length, MASK_FILL_VALUE, s)
         s = jnp.where(j >= l_real, PAD_NEG, s)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -89,7 +92,16 @@ def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
     o_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
 
 
-def _fwd(q, k, v, lengths, scale):
+def _pad_mask(mask, lq_pad: int, lk_pad: int):
+    """mask is [B, Lq_m, Lk] int8 with Lq_m in {1, Lq}; pad the key dim
+    (and, for per-query masks, the query dim) with 1 = masked."""
+    B, lq_m, lk = mask.shape
+    lq_m_pad = 1 if lq_m == 1 else lq_pad
+    return jnp.pad(mask, ((0, 0), (0, lq_m_pad - lq_m), (0, lk_pad - lk)),
+                   constant_values=np.int8(1))
+
+
+def _fwd(q, k, v, mask, scale):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     block_q, block_k = _block_sizes(Lq, Lk)
@@ -101,29 +113,32 @@ def _fwd(q, k, v, lengths, scale):
     qp = qp.reshape(B * H, lq_pad, D)
     kp = kp.reshape(B * H, lk_pad, D)
     vp = vp.reshape(B * H, lk_pad, D)
-    len_bh = jnp.repeat(lengths.astype(jnp.int32), H)
+    mp = _pad_mask(mask, lq_pad, lk_pad)
+    broadcast_q = mp.shape[1] == 1
 
     n_qblocks = lq_pad // block_q
     grid = (B * H, n_qblocks)
+    if broadcast_q:
+        m_spec = pl.BlockSpec((1, 1, lk_pad), lambda bh, qi: (bh // H, 0, 0))
+    else:
+        m_spec = pl.BlockSpec((1, block_q, lk_pad),
+                              lambda bh, qi: (bh // H, qi, 0))
     kern = functools.partial(
         _fwd_kernel, scale=scale, l_real=Lk,
         n_kblocks=lk_pad // block_k, block_k=block_k)
     out = pl.pallas_call(
         kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, block_q, D), lambda bh, qi, *_: (bh, qi, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, qi, *_: (bh, 0, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, qi, *_: (bh, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, block_q, D),
-                                   lambda bh, qi, *_: (bh, qi, 0)),
-        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, lk_pad, D), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, lk_pad, D), lambda bh, qi: (bh, 0, 0)),
+            m_spec,
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, lq_pad, D), q.dtype),
         interpret=_interpret(),
-    )(len_bh, qp, kp, vp)
+    )(qp, kp, vp, mp)
     return out.reshape(B, H, lq_pad, D)[:, :, :Lq, :]
 
 
@@ -131,13 +146,12 @@ def _fwd(q, k, v, lengths, scale):
 # backward (recompute attention blockwise)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, m_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float, l_real: int,
-                lq_real: int, n_qblocks: int, block_q: int):
+                lq_real: int, n_qblocks: int, block_q: int,
+                broadcast_q: bool):
     """Grid over (B*H,). Recomputes softmax per (q-block) with full K in
     VMEM; accumulates dk/dv across q blocks, writes dq per block."""
-    bh = pl.program_id(0)
-    length = lengths_ref[bh]
     k = k_ref[0]                                        # [Lk, D]
     v = v_ref[0]
 
@@ -151,8 +165,12 @@ def _bwd_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
         o = o_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if broadcast_q:
+            mblk = m_ref[0]                             # [1, Lk]
+        else:
+            mblk = m_ref[0, pl.ds(qi * block_q, block_q), :]  # [BQ, Lk]
+        masked = mblk != 0
         j = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        masked = j >= length
         s = jnp.where(masked, MASK_FILL_VALUE, s)
         s = jnp.where(j >= l_real, PAD_NEG, s)
         m = jnp.max(s, axis=1, keepdims=True)
@@ -187,7 +205,7 @@ def _bwd_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
 
 
 def _bwd(scale, res, g):
-    q, k, v, lengths, o = res
+    q, k, v, mask, o = res
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     block_q, block_k = _block_sizes(Lq, Lk)
@@ -198,36 +216,37 @@ def _bwd(scale, res, g):
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0))).reshape(B * H, lk_pad, D)
     dop = jnp.pad(g, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0))).reshape(B * H, lq_pad, D)
     op = jnp.pad(o, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0))).reshape(B * H, lq_pad, D)
-    len_bh = jnp.repeat(lengths.astype(jnp.int32), H)
+    mp = _pad_mask(mask, lq_pad, lk_pad)
+    broadcast_q = mp.shape[1] == 1
+    m_rows = mp.shape[1]
 
     kern = functools.partial(
         _bwd_kernel, scale=scale, l_real=Lk, lq_real=Lq,
-        n_qblocks=lq_pad // block_q, block_q=block_q)
+        n_qblocks=lq_pad // block_q, block_q=block_q,
+        broadcast_q=broadcast_q)
     dq, dk, dv = pl.pallas_call(
         kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(B * H,),
-            in_specs=[
-                pl.BlockSpec((1, lq_pad, D), lambda bh, *_: (bh, 0, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, *_: (bh, 0, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, *_: (bh, 0, 0)),
-                pl.BlockSpec((1, lq_pad, D), lambda bh, *_: (bh, 0, 0)),
-                pl.BlockSpec((1, lq_pad, D), lambda bh, *_: (bh, 0, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, lq_pad, D), lambda bh, *_: (bh, 0, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, *_: (bh, 0, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, *_: (bh, 0, 0)),
-            ],
-        ),
+        grid=(B * H,),
+        in_specs=[
+            pl.BlockSpec((1, lq_pad, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, lk_pad, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, lk_pad, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, lq_pad, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, lq_pad, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, m_rows, lk_pad), lambda bh: (bh // H, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, lq_pad, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, lk_pad, D), lambda bh: (bh, 0, 0)),
+            pl.BlockSpec((1, lk_pad, D), lambda bh: (bh, 0, 0)),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, lq_pad, D), q.dtype),
             jax.ShapeDtypeStruct((B * H, lk_pad, D), k.dtype),
             jax.ShapeDtypeStruct((B * H, lk_pad, D), v.dtype),
         ],
         interpret=_interpret(),
-    )(len_bh, qp, kp, vp, dop, op)
+    )(qp, kp, vp, dop, op, mp)
     dq = dq.reshape(B, H, lq_pad, D)[:, :, :Lq, :]
     dk = dk.reshape(B, H, lk_pad, D)[:, :, :Lk, :]
     dv = dv.reshape(B, H, lk_pad, D)[:, :, :Lk, :]
@@ -235,13 +254,13 @@ def _bwd(scale, res, g):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash_attention(q, k, v, lengths, scale):
-    return _fwd(q, k, v, lengths, scale)
+def _flash_attention(q, k, v, mask, scale):
+    return _fwd(q, k, v, mask, scale)
 
 
-def _flash_fwd(q, k, v, lengths, scale):
-    o = _fwd(q, k, v, lengths, scale)
-    return o, (q, k, v, lengths, o)
+def _flash_fwd(q, k, v, mask, scale):
+    o = _fwd(q, k, v, mask, scale)
+    return o, (q, k, v, mask, o)
 
 
 _flash_attention.defvjp(_flash_fwd, _bwd)
@@ -249,14 +268,16 @@ _flash_attention.defvjp(_flash_fwd, _bwd)
 
 def pallas_masked_attention(q, k, v, key_mask: Optional[jnp.ndarray],
                             scale: float) -> jnp.ndarray:
-    """Drop-in for modules.masked_softmax_attention. Length-style key masks
-    (True tail = masked) run through the fused kernel; full [B, Lq, Lk]
-    block masks (multitoken MBT variants) fall back to the XLA path."""
-    if key_mask is not None and key_mask.ndim == 3:
-        from ..models.modules import masked_softmax_attention
-        return masked_softmax_attention(q, k, v, key_mask, scale)
+    """Drop-in for modules.masked_softmax_attention. Accepts the same mask
+    forms: None, a [B, Lk] key-pad mask (True = masked; NOT assumed
+    tail-contiguous — early-fusion concatenations pad mid-sequence), or a
+    full [B, Lq, Lk] block mask (multitoken MBT variants)."""
+    B = q.shape[0]
+    Lk = k.shape[2]
     if key_mask is None:
-        lengths = jnp.full((q.shape[0],), k.shape[2], dtype=jnp.int32)
+        m = jnp.zeros((B, 1, Lk), jnp.int8)
+    elif key_mask.ndim == 2:
+        m = key_mask[:, None, :].astype(jnp.int8)
     else:
-        lengths = jnp.sum(~key_mask, axis=1).astype(jnp.int32)
-    return _flash_attention(q, k, v, lengths, 1.0 / scale)
+        m = key_mask.astype(jnp.int8)
+    return _flash_attention(q, k, v, m, 1.0 / scale)
