@@ -180,6 +180,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--text-observed-prop', type=int, default=100,
                         choices=[10, 30, 50, 70, 90, 100])
 
+    # Flags the reference declares but comments out (control/config.py:13,
+    # 73-79). --multitoken is nonetheless read by live trainer code
+    # (builder/trainer/trainer.py:57-66: bimodal train targets repeated 2x)
+    # so it has behavior here; the other four have no reader anywhere in
+    # the reference and are accepted-but-inert for command compatibility.
+    parser.add_argument('--multitoken', type=int, default=0)
+    parser.add_argument('--collate', type=int, default=2)
+    parser.add_argument('--quantization', type=bool, default=False)
+    parser.add_argument('--show-roc', type=bool, default=False)
+    parser.add_argument('--usepe', type=bool, default=False)
+
     # --- TPU-native extensions (not in reference; all have safe defaults) ---
     parser.add_argument('--precision', type=str, default='bf16', choices=['bf16', 'fp32'],
                         help='activation precision; params/optimizer stay fp32')
@@ -311,6 +322,11 @@ class Config:
     fusion_type: str
     image_observed_prop: int
     text_observed_prop: int
+    multitoken: int
+    collate: int
+    quantization: bool
+    show_roc: bool
+    usepe: bool
     # TPU-native
     precision: str
     use_pallas: int

@@ -140,6 +140,17 @@ def _bce(logits, targets):
     return optax.sigmoid_binary_cross_entropy(logits, targets)
 
 
+def multitoken_targets(cfg: Config, targets: jnp.ndarray) -> jnp.ndarray:
+    """--multitoken train-time target repeat (trainer.py:57-66): bimodal
+    (fullmodal txt1/img1) targets are repeated 2x sample-major
+    ([B, ...] -> [2B, ...], ordered t0,t0,t1,t1,...) so a model emitting
+    one prediction per candidate token is supervised on both. Train flow
+    only — eval selects a single output per sample."""
+    if cfg.multitoken and cfg.fullmodal_definition in ("txt1", "img1"):
+        return jnp.repeat(targets, 2, axis=0)
+    return targets
+
+
 def compute_loss(cfg: Config, logits, rmse, targets, targets_aux,
                  missing, missing_num):
     """Model/loss-type dispatch (trainer.py:164-184)."""
@@ -257,7 +268,8 @@ class Trainer:
                 params, state.batch_stats, batch, missing_num, False, rng)
             loss = compute_loss(cfg, logits.astype(jnp.float32),
                                 None if rmse is None else rmse.astype(jnp.float32),
-                                batch["target"], batch["target_aux"],
+                                multitoken_targets(cfg, batch["target"]),
+                                batch["target_aux"],
                                 batch["missing"], missing_num)
             if aux is not None:
                 # model-computed auxiliary loss (the auxcpc_* contrastive
