@@ -32,7 +32,7 @@ from flax import linen as nn
 from ..config import Config
 from ..constants import IMG_FEATURE_ID, TXT_FEATURE_ID
 from .encoder import MTFusion, TransformerEncoder
-from .heads import ClsHead
+from .heads import ClsHead, ClsHeadLN
 from .mbt import MBTFusion
 from .modules import MLPStem
 from .swin import PatchEmbed, SwinTransformer
@@ -49,13 +49,26 @@ def model_dtype(cfg: Config) -> jnp.dtype:
 class ImageEncoder(nn.Module):
     """swin/vit/patch-embed stem -> [B, N, d_model] tokens
     (tri_mbt_vsltcls.py:83-118, :202-214). The swin path is frozen
-    (torch.no_grad, :208-209) — stop_gradient here."""
+    (torch.no_grad, :208-209) — stop_gradient here.
+
+    ``freeze_override``: None = flagship rule (freeze swin iff pretrained);
+    True = always freeze the swin trunk (tri_mbt_v1.py:228 wraps the call
+    in no_grad unconditionally); False = always trainable (tri_mbt_v2.py:
+    211). ``stem_override='patch'`` forces the MONAI patch-embed stem
+    regardless of --img-model-type (tri_mbt_v3.py:86-96,187)."""
     cfg: Config
     dtype: jnp.dtype = jnp.float32
+    freeze_override: Optional[bool] = None
+    stem_override: Optional[str] = None
+    allow_multiimages: bool = True
 
     @nn.compact
     def __call__(self, img, deterministic: bool = True):
         cfg = self.cfg
+        if self.stem_override == "patch":
+            return PatchEmbed(img_size=cfg.image_size, patch_size=16,
+                              hidden=cfg.transformer_dim, dtype=self.dtype,
+                              name="patch_embedding")(img)
         if cfg.img_model_type == "vit":
             feats = VisionTransformer(in_channels=1, image_size=cfg.image_size,
                                       dtype=self.dtype, name="img_encoder")(
@@ -63,11 +76,13 @@ class ImageEncoder(nn.Module):
             return nn.Dense(cfg.transformer_dim, dtype=self.dtype,
                             name="linear")(feats)
         if cfg.img_model_type == "swin":
-            if cfg.multiimages == 1:
+            if cfg.multiimages == 1 and self.allow_multiimages:
                 img = img.reshape(-1, 1, cfg.image_size, cfg.image_size)
             feats = SwinTransformer(in_channels=1, dtype=self.dtype,
                                     name="img_encoder")(img, deterministic)
-            if cfg.img_pretrain == "Yes":
+            freeze = (cfg.img_pretrain == "Yes" if self.freeze_override is None
+                      else self.freeze_override)
+            if freeze:
                 feats = jax.lax.stop_gradient(feats)
             B = feats.shape[0]
             feats = feats.reshape(B, -1, feats.shape[-1])      # [B, 49, 768]
@@ -83,6 +98,11 @@ class MBTBackbone(nn.Module):
     which streams feed the fusion ('vslt_img_txt', 'vslt_img', 'vslt_txt')."""
     cfg: Config
     share_umse: bool = True
+    # v1/v2/v3 wiring knobs (see ImageEncoder / TRI_MBT_V1 docstrings)
+    img_freeze_override: Optional[bool] = None
+    img_stem_override: Optional[str] = None
+    allow_multiimages: bool = True
+    allow_resbottle: bool = True
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], missing_num: jnp.ndarray,
@@ -90,6 +110,7 @@ class MBTBackbone(nn.Module):
         cfg = self.cfg
         dt = model_dtype(cfg)
         mods = cfg.input_types.split("_")
+        multiimages = cfg.multiimages == 1 and self.allow_multiimages
         umse = UMSE(cfg.transformer_dim, cfg.vslt_type, cfg.berttype,
                     cfg.imgtxt_time, cfg.vslt_len, dtype=dt, name="umse")
         vslt_tokens, demo = umse.embed_vslt(batch["vslt"], batch["static"][:, 1],
@@ -105,14 +126,17 @@ class MBTBackbone(nn.Module):
                 img_umse = UMSE(cfg.transformer_dim, cfg.vslt_type, cfg.berttype,
                                 cfg.imgtxt_time, cfg.vslt_len, dtype=dt,
                                 name="umse_img")
-            img_tokens = ImageEncoder(cfg, dtype=dt, name="img_enc")(
-                batch["img"], deterministic)
+            img_tokens = ImageEncoder(
+                cfg, dtype=dt, freeze_override=self.img_freeze_override,
+                stem_override=self.img_stem_override,
+                allow_multiimages=self.allow_multiimages, name="img_enc")(
+                    batch["img"], deterministic)
             img_time = batch["img_time"]
             if cfg.imgtxt_time == 1:
                 stems = umse if self.share_umse else img_umse
                 img_tokens = stems.add_time_feature(
                     img_tokens, img_time.reshape(-1), IMG_FEATURE_ID, demo)
-            if cfg.multiimages == 1:
+            if multiimages:
                 B = batch["vslt"].shape[0]
                 img_tokens = img_tokens.reshape(B, -1, cfg.transformer_dim)
                 n_real = jnp.count_nonzero(
@@ -159,7 +183,7 @@ class MBTBackbone(nn.Module):
             dropout=cfg.dropout,
             txt_idx=txt_idx,
             vsltonly=cfg.mbt_only_vslt,
-            resbottle=cfg.residual_bottlenecks == 1,
+            resbottle=cfg.residual_bottlenecks == 1 and self.allow_resbottle,
             use_pe=tuple(use_pe),
             mask=tuple(mask),
             dtype=dt,
@@ -201,34 +225,56 @@ class TRI_MBT_VSLTCLS_NOSHAREUMSE(TRI_MBT_VSLTCLS):
 
 class TRI_MBT_V1(nn.Module):
     """Per-modality cls heads, missing-aware mean of logits
-    (tri_mbt_v1.py:269-280)."""
+    (tri_mbt_v1.py:269-280). The three reference variants differ in wiring,
+    not head math:
+
+      variant 1 (tri_mbt_v1.py): LayerNorm fc head (:157), swin trunk frozen
+        unconditionally (no_grad, :228), multiimages + residual-bottleneck
+        support (:120-128), no rmse output (forward returns output2=None).
+      variant 2 (tri_mbt_v2.py): BatchNorm1d fc head (:144), trainable img
+        encoder (:211), fixed mask=[True,False,True] / no resbottle /
+        no multiimages (:133), rmse mixing when configured (:240-247).
+      variant 3 (tri_mbt_v3.py): variant 2 with the image stem forced to the
+        MONAI patch embed regardless of --img-model-type (:86-96,187).
+    """
     cfg: Config
+    variant: int = 1
 
     @nn.compact
     def __call__(self, batch, missing_num, deterministic: bool = True) -> ModelOutput:
         cfg = self.cfg
-        outputs, demo = MBTBackbone(cfg, name="backbone")(
-            batch, missing_num, deterministic)
+        v = self.variant
+        outputs, demo = MBTBackbone(
+            cfg,
+            img_freeze_override=True if v == 1 else False,
+            img_stem_override="patch" if v == 3 else None,
+            allow_multiimages=(v == 1),
+            allow_resbottle=(v == 1),
+            name="backbone")(batch, missing_num, deterministic)
         stack = jnp.stack([o[:, 0, :] for o in outputs])          # [M, B, D]
         stack = nn.LayerNorm(dtype=stack.dtype, name="after_concat_ln")(stack)
         if cfg.vslt_type != "QIE":
             demo_rep = jnp.broadcast_to(demo[None], (stack.shape[0],) + demo.shape)
             stack = jnp.concatenate([stack, demo_rep.astype(stack.dtype)], axis=-1)
-        logits = ClsHead(cfg.transformer_dim, cfg.output_dim, cfg.activation,
-                         dtype=stack.dtype, name="fc_list")(
-                             stack, deterministic)[..., 0]        # [M, B]
+        head_cls = ClsHeadLN if v == 1 else ClsHead
+        out_dim = 1 if v == 1 else cfg.output_dim  # v1 forces 1 (:26)
+        logits = head_cls(cfg.transformer_dim, out_dim, cfg.activation,
+                          dtype=stack.dtype, name="fc_list")(
+                              stack, deterministic)               # [M, B, O]
         W = jnp.array([[1 / 3, 1 / 3, 1 / 3], [1 / 2, 1 / 2, 0],
                        [1 / 2, 0, 1 / 2], [1, 0, 0]], dtype=jnp.float32)
         onehot = jax.nn.one_hot(missing_num, 4, dtype=jnp.float32)
         mix = jnp.einsum("bk,km->bm", onehot, W,
                          precision=jax.lax.Precision.HIGHEST
                          ).astype(logits.dtype)                   # [B, M]
-        out = jnp.einsum("bm,mb->b", mix, logits,
+        out = jnp.einsum("bm,mbo->bo", mix, logits,
                          precision=jax.lax.Precision.HIGHEST)
+        out = out[..., 0] if out_dim == 1 else out
         rmse = None
-        if "rmse" in cfg.auxiliary_loss_type:
+        if v != 1 and "rmse" in cfg.auxiliary_loss_type:
             # per-modality rmse heads mixed the same missing-aware way
-            # (tri_mbt_v2.py:242-247)
+            # (tri_mbt_v2.py:240-247); v1's rmse path is dead in the
+            # reference (output2=None, tri_mbt_v1.py:282)
             r = nn.Dense(1, dtype=stack.dtype,
                          name="rmse_layer")(stack)[..., 0]        # [M, B]
             rmse = jnp.einsum("bm,mb->b", mix, r,
@@ -239,8 +285,15 @@ class TRI_MBT_V1(nn.Module):
 class TRI_MBT_VFLEXIBLE(nn.Module):
     """Learned missing-aware cls weighting: a (3,1) parameter masked by the
     available-modality pattern, softmaxed over modalities, weighting
-    per-modality logits (tri_mbt_vflexible.py:148,269-289)."""
+    per-modality logits (tri_mbt_vflexible.py:148,269-289).
+
+    ``flex_temp`` is the only difference between the three reference
+    variants — the masked weights are scaled by 10 in tri_mbt_vflexible2
+    (vflexible2.py:279) and by 3.334 in tri_mbt_vflexible3
+    (vflexible3.py:279) before the softmax (applied AFTER the -1e9 fill,
+    as in the reference)."""
     cfg: Config
+    flex_temp: float = 1.0
 
     @nn.compact
     def __call__(self, batch, missing_num, deterministic: bool = True) -> ModelOutput:
@@ -252,9 +305,10 @@ class TRI_MBT_VFLEXIBLE(nn.Module):
         if cfg.vslt_type != "QIE":
             demo_rep = jnp.broadcast_to(demo[None], (3,) + demo.shape)
             stack = jnp.concatenate([stack, demo_rep.astype(stack.dtype)], axis=-1)
-        logits = ClsHead(cfg.transformer_dim, cfg.output_dim, cfg.activation,
-                         dtype=stack.dtype, name="fc_list")(
-                             stack, deterministic)[..., 0]        # [3, B]
+        # LayerNorm head, not BatchNorm (tri_mbt_vflexible.py:175)
+        logits = ClsHeadLN(cfg.transformer_dim, cfg.output_dim, cfg.activation,
+                           dtype=stack.dtype, name="fc_list")(
+                               stack, deterministic)[..., 0]      # [3, B]
         flexavg = self.param("flexibleavg", nn.initializers.zeros, (3, 1))
         # availability masks per missing case (tri_mbt_vflexible.py:150-165):
         # rows: tri, v+i, v+t, v; True = modality masked out of the softmax
@@ -264,7 +318,7 @@ class TRI_MBT_VFLEXIBLE(nn.Module):
                                 [False, True, True]])
         m = avail_mask[missing_num]                               # [B, 3]
         w = jnp.broadcast_to(flexavg, (3, logits.shape[1])).astype(jnp.float32)
-        w = jnp.where(m.T, -1e9, w)
+        w = jnp.where(m.T, -1e9, w) * self.flex_temp
         cls_weight = jax.nn.softmax(w, axis=0).astype(logits.dtype)
         weighted = logits * cls_weight                            # [3, B]
         tri = jnp.sum(weighted, axis=0)

@@ -2,10 +2,12 @@
 builder/models/__init__.py:14-51 imports 8_missing_models.<name> and
 returns class <NAME-UPPERCASED>).
 
-Every live registry name is mapped; several reference files are minor
-wiring variants of the same core (v1/v2/v3, flexible/flexible2/flexible3),
-mapped to the shared implementation. mt_v1 is dead in the reference
-(undefined MultimodalTransformerEncoder) and intentionally absent here.
+Every live registry name is mapped; reference files that are wiring
+variants of one core (v1/v2/v3, flexible/flexible2/flexible3) share an
+implementation parameterized by the distinguishing knob (head norm /
+freeze / stem for v*, softmax temperature for flexible*). mt_v1 is dead
+in the reference (undefined MultimodalTransformerEncoder) and mapped to
+the working concat-fusion core here.
 """
 from __future__ import annotations
 
@@ -21,11 +23,14 @@ _REGISTRY: Dict[str, Callable] = {
     "tri_mbt_vsltcls": M.TRI_MBT_VSLTCLS,
     "tri_mbt_vsltcls_noshareumse": M.TRI_MBT_VSLTCLS_NOSHAREUMSE,
     "tri_mbt_v1": M.TRI_MBT_V1,
-    "tri_mbt_v2": M.TRI_MBT_V1,
-    "tri_mbt_v3": M.TRI_MBT_V1,
+    # v2/v3 differ in wiring, not head math — see TRI_MBT_V1 docstring
+    "tri_mbt_v2": lambda cfg: M.TRI_MBT_V1(cfg, variant=2),
+    "tri_mbt_v3": lambda cfg: M.TRI_MBT_V1(cfg, variant=3),
     "tri_mbt_vflexible": M.TRI_MBT_VFLEXIBLE,
-    "tri_mbt_vflexible2": M.TRI_MBT_VFLEXIBLE,
-    "tri_mbt_vflexible3": M.TRI_MBT_VFLEXIBLE,
+    # flexible2/3 scale the masked weights before the softmax
+    # (tri_mbt_vflexible2.py:279 *10, vflexible3.py:279 *3.334)
+    "tri_mbt_vflexible2": lambda cfg: M.TRI_MBT_VFLEXIBLE(cfg, flex_temp=10.0),
+    "tri_mbt_vflexible3": lambda cfg: M.TRI_MBT_VFLEXIBLE(cfg, flex_temp=3.334),
     "tri_mbt_vnoshavgtr": M.TRI_MBT_VNOSHAVGTR,
     "tri_mbt_vnoshnoavgtr": M.TRI_MBT_VNOSHNOAVGTR,
     # multitoken family
