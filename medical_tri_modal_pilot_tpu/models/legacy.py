@@ -31,9 +31,9 @@ from flax import linen as nn
 from ..config import Config
 from .baselines import _GRUDCell, _unpack_carryforward, _with_demo, LSTMEncoder
 from .encoder import TransformerEncoder
-from .extras import info_nce
 from .heads import ClsHead
 from .maxvit import MaxViT
+from .mbt import MBTFusion
 from .models import ModelOutput, model_dtype
 from .modules import (CrossmodalTransformerEncoderLayer, MLPStem,
                       TransformerEncoderLayer, length_key_mask,
@@ -479,79 +479,202 @@ class CROSS_TRANSFORMER(nn.Module):
 # 5_bi_vslt_txt auxcpc_* — contrastive auxiliary losses
 # ---------------------------------------------------------------------------
 
+def _cosine_rows(a, b, eps=1e-7):
+    """Per-row cosine similarity (torch CosineSimilarity(dim=1) semantics:
+    denominator clamped at eps, auxcpc_early.py:131)."""
+    num = jnp.sum(a * b, axis=-1)
+    den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
+    return num / jnp.maximum(den, eps)
+
+
+T_SAMPLES = 24     # CPC split point (auxcpc_early.py:161)
+CPC_STEPS = 12     # predicted future steps (ct_weight leading dim, :105)
+
+
 class AUXCPC(nn.Module):
-    """vslt+txt model with a contrastive auxiliary objective
-    (5_bi_vslt_txt/auxcpc_{early,grudtxt,mbt}*.py). The vslt stream is
-    encoded (transformer or GRU-D by ``vslt_kind``), fused with text by
-    ``fusion`` ('early' = joint encoder, 'cross' = cross-attention, 'mbt'
-    approximated by the early joint encoder at this family's scale), and a
-    CPC-style loss ties the vslt context to the text representation:
-    'cpc' -> InfoNCE with in-batch negatives (src/module/infonce.py),
-    'cosine' -> 1 - cosine similarity, 'l2' -> mean squared error
-    (auxcpc_mbt.py:103-129 switches the same three modes)."""
+    """vslt+txt CPC family (5_bi_vslt_txt/auxcpc_*.py — 10 files spanning
+    three fusion/targets wirings x two vslt encoders).
+
+    The vslt stream is encoded into z ([B, L, D], transformer or GRU-D by
+    ``vslt_kind``); when the window extends past t=24 steps (pretrain
+    windows, auxcpc_early.py:172-180) the 12 steps after t=24 become
+    auxiliary targets and the fusion sees only the past. ``fusion``:
+    'early' = joint [cls, z, txt] encoder (auxcpc_early.py:183-189);
+    'mbt' = bimodal bottleneck fusion, c_t = concat of both cls tokens +
+    LayerNorm (auxcpc_mbt.py:83-97,181-182). ``wiring``:
+
+      'predict' (early/early2/grudtxt/mbt): pred[t] = c_t @ ct_weight[t]
+          ([12, ct_dim, D] init uniform +-sqrt(ct_dim), :105-106), optional
+          'Wbrl' BatchNorm+act+Linear head (:109-113); loss vs the future
+          *encoded* steps: 'cpc' = in-batch softmax over [12B, 12B] scores
+          with invalid targets and same-sample non-positive pairs masked at
+          -65504 (:121-127,199-205), 'cosine'/'l2' elementwise; all
+          f_indices-weighted.
+      'ct' (*_ct): c_t LayerNormed (auxcpc_early_ct.py:93-95); the future
+          steps + text run through the SAME fusion to a mirror cls
+          (:200-207); loss = -cos(flatten, flatten) (CosineSimilarity
+          dim=0, :134) or mean-l2; a 'cpc' loss type has no branch in the
+          _ct files and contributes 0.
+      'direct' (*_direct/_dir): 'predict' with ct_weight [12, ct_dim, F]
+          and the 12 future *raw* inputs as targets
+          (auxcpc_early_direct.py:107,178-181). The reference's 'Wbrl'
+          head is hardcoded to 256 features and would crash here; we size
+          it to the target dim.
+
+    ``post_ln`` adds the post-concat LayerNorm that distinguishes
+    auxcpc_early2 (auxcpc_early2.py diff: LN only)."""
     cfg: Config
     vslt_kind: str = "ttrans"
     fusion: str = "early"
+    wiring: str = "predict"
+    post_ln: bool = False
 
     @nn.compact
     def __call__(self, batch, missing_num, deterministic: bool = True) -> ModelOutput:
         cfg = self.cfg
         dt = model_dtype(cfg)
+        D = cfg.transformer_dim
+        x_raw, _m, _d = _unpack_carryforward(batch)
         # --- encode both streams
-        v_tokens = _VsltTokens(cfg, dt, name="vslt_tokens")(batch)
         if self.vslt_kind == "grud":
-            x, m, d = _unpack_carryforward(batch)
             x_mean = jnp.asarray(cfg.feature_means, dtype=dt)
-            _, hs = GRUDEncoder(cfg.transformer_dim, dtype=dt, name="grud")(
-                x.astype(dt), m.astype(dt), d.astype(dt), x_mean,
+            _, z = GRUDEncoder(D, dtype=dt, name="grud")(
+                x_raw.astype(dt), _m.astype(dt), _d.astype(dt), x_mean,
                 batch["input_length"])
-            v_tokens = hs
+        else:
+            z = _VsltTokens(cfg, dt, name="vslt_tokens")(batch)
         t_tokens = _TxtTokens(cfg, dt, name="txt_tokens")(batch["txt"])
-        B = v_tokens.shape[0]
-        v_valid = ~length_key_mask(batch["input_length"].astype(jnp.int32),
-                                   v_tokens.shape[1])
+        B, Lv = z.shape[0], z.shape[1]
         t_valid = ~length_key_mask(
             jnp.clip(batch["txt_length"].astype(jnp.int32) + 2, 1,
                      t_tokens.shape[1]), t_tokens.shape[1])
-        # --- fuse
-        cls = self.param("cls_tokens", nn.initializers.zeros,
-                         (1, 1, cfg.transformer_dim))
-        x = jnp.concatenate(
-            [jnp.broadcast_to(cls, (B, 1, cfg.transformer_dim)).astype(dt),
-             v_tokens, t_tokens], axis=1)
-        key_mask = ~jnp.concatenate(
-            [jnp.ones((B, 1), dtype=bool), v_valid, t_valid], axis=1)
-        h = nn.LayerNorm(dtype=dt, name="layer_norm_in")(x)
-        h = h + positional_encoding(h.shape[1], cfg.transformer_dim, dt)
-        for i in range(cfg.transformer_num_layers):
-            h = TransformerEncoderLayer(
-                cfg.transformer_dim, cfg.transformer_num_head,
-                cfg.transformer_dim * 4, cfg.dropout, dt,
-                name=f"layers_{i}")(h, key_mask, deterministic)
-        xcls = nn.LayerNorm(dtype=dt, name="final_ln")(h[:, 0])
-        logits = _head(cfg, xcls, deterministic)
-        # --- contrastive auxiliary between pooled streams (fp32)
-        vw = v_valid.astype(jnp.float32)[..., None]
-        tw = t_valid.astype(jnp.float32)[..., None]
-        v32 = v_tokens.astype(jnp.float32)
-        t32 = t_tokens.astype(jnp.float32)
-        v_feat = jnp.sum(v32 * vw, 1) / jnp.maximum(jnp.sum(vw, 1), 1.0)
-        t_feat = jnp.sum(t32 * tw, 1) / jnp.maximum(jnp.sum(tw, 1), 1.0)
-        q = nn.Dense(cfg.transformer_dim, name="cpc_q")(v_feat)
-        p = nn.Dense(cfg.transformer_dim, name="cpc_p")(t_feat)
-        # samples with the note missing contribute nothing to the
-        # contrastive term (their embedding is a padding artifact)
-        w = 1.0 - batch["missing"][:, 2].astype(jnp.float32)
-        aux_type = cfg.auxiliary_loss_type or ""
-        if "cosine" in aux_type:
-            from .extras import l2_normalize
-            per = 1.0 - jnp.sum(l2_normalize(q) * l2_normalize(p), axis=-1)
-            aux = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
-        elif "l2" in aux_type:
-            per = jnp.mean((q - p) ** 2, axis=-1)
-            aux = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        # --- CPC future split (static: Lv is a trace-time constant)
+        has_future = Lv > T_SAMPLES
+        if has_future:
+            T = min(CPC_STEPS, Lv - T_SAMPLES)
+            enc_samples = z[:, T_SAMPLES:T_SAMPLES + T]           # [B, T, D]
+            raw_samples = x_raw[:, T_SAMPLES:T_SAMPLES + T]       # [B, T, F]
+            f = batch["f_indices"][:, -CPC_STEPS:][:, :T].astype(jnp.float32)
+            z_in = z[:, :T_SAMPLES]
         else:
-            aux = info_nce(q, p, weights=w)
+            z_in = z
+        v_valid = ~length_key_mask(batch["input_length"].astype(jnp.int32),
+                                   z_in.shape[1])
+
+        # --- fusion (module instances created once; 'ct' reuses them for
+        # the mirror pass => shared weights, auxcpc_early_ct.py:200-205)
+        if self.fusion == "mbt":
+            mbt = MBTFusion(
+                n_modality=2, bottlenecks_n=4,
+                fusion_startidx=cfg.mbt_fusion_startidx,
+                n_layers=cfg.transformer_num_layers,
+                n_head=cfg.transformer_num_head, d_model=D, d_ff=D * 4,
+                dropout=cfg.dropout, pe_maxlen=600, txt_idx=1,
+                use_pe=(True, True), mask=(True, True), dtype=dt,
+                name="c_t_model")
+            ln_cat = nn.LayerNorm(dtype=dt, name="layer_norms_after_concat")
+
+            def fuse(v_toks, v_len, first: bool):
+                outs = mbt([v_toks, t_tokens],
+                           [v_len, batch["txt_length"].astype(jnp.int32) + 2],
+                           jnp.zeros((B,), jnp.int32), deterministic)
+                return jnp.concatenate([outs[0][:, 0], outs[1][:, 0]], -1)
+
+            c_t = ln_cat(fuse(z_in, batch["input_length"].astype(jnp.int32),
+                              True))
+        else:
+            cls = self.param("cls_tokens", nn.initializers.zeros, (1, 1, D))
+            ln_in = nn.LayerNorm(dtype=dt, name="layer_norm_in")
+            layers = [TransformerEncoderLayer(
+                D, cfg.transformer_num_head, D * 4, cfg.dropout, dt,
+                name=f"layers_{i}") for i in range(cfg.transformer_num_layers)]
+
+            def fuse(v_toks, v_val, t_val):
+                xx = jnp.concatenate(
+                    [jnp.broadcast_to(cls, (B, 1, D)).astype(dt),
+                     v_toks, t_tokens], axis=1)
+                km = ~jnp.concatenate(
+                    [jnp.ones((B, 1), dtype=bool), v_val, t_val], axis=1)
+                h = ln_in(xx)
+                h = h + positional_encoding(h.shape[1], D, dt)
+                for lyr in layers:
+                    h = lyr(h, km, deterministic)
+                return h[:, 0]
+
+            c_t = fuse(z_in, v_valid, t_valid)
+            if self.post_ln or self.wiring == "ct":
+                c_t = nn.LayerNorm(
+                    dtype=dt, name="layer_norms_after_concat")(c_t)
+
+        logits = _head(cfg, c_t, deterministic)
+
+        # --- auxiliary loss
+        aux = jnp.zeros((), jnp.float32)
+        aux_type = cfg.auxiliary_loss_type or ""
+        if has_future:
+            c32 = c_t.astype(jnp.float32)
+            if self.wiring == "ct":
+                if self.fusion == "mbt":
+                    mirror = fuse(enc_samples,
+                                  jnp.full((B,), T, jnp.int32), False)
+                    mirror = nn.LayerNorm(
+                        dtype=dt,
+                        name="layer_norms_after_concat_mirror")(mirror)
+                else:
+                    mirror = fuse(enc_samples,
+                                  jnp.ones((B, T), dtype=bool), t_valid)
+                    mirror = nn.LayerNorm(
+                        dtype=dt,
+                        name="layer_norms_after_concat_mirror")(mirror)
+                m32 = mirror.astype(jnp.float32)
+                if "cosine" in aux_type:
+                    # CosineSimilarity(dim=0) over the flattened batch —
+                    # one scalar (auxcpc_early_ct.py:134,210)
+                    aux = -_cosine_rows(c32.reshape(1, -1),
+                                        m32.reshape(1, -1))[0]
+                elif "l2" in aux_type:
+                    aux = jnp.mean((c32 - m32) ** 2)
+                # 'cpc' with ct wiring: no branch in the reference -> 0
+            else:
+                tgt = (raw_samples if self.wiring == "direct"
+                       else enc_samples).astype(jnp.float32)      # [B, T, F]
+                Fd = tgt.shape[-1]
+                ct_dim = c_t.shape[-1]
+                lim = float(ct_dim) ** 0.5
+                ctw = self.param(
+                    "ct_weight",
+                    lambda k, s: jax.random.uniform(
+                        k, s, jnp.float32, -lim, lim),
+                    (T, ct_dim, Fd))
+                pred = jnp.einsum("bd,tdf->btf", c32, ctw)        # [B, T, F]
+                if "Wbrl" in aux_type:
+                    pred = nn.BatchNorm(
+                        use_running_average=deterministic, axis=-1,
+                        momentum=0.9, epsilon=1e-5, name="brl_bn")(pred)
+                    pred = nn.relu(pred) if cfg.activation == "relu" \
+                        else nn.selu(pred)
+                    pred = nn.Dense(Fd, name="brl_fc")(pred)
+                pf = pred.reshape(-1, Fd)                         # [BT, F]
+                tf_ = tgt.reshape(-1, Fd)
+                fv = f.reshape(-1)                                # [BT]
+                if "cpc" in aux_type:
+                    total = pf @ tf_.T                            # [BT, BT]
+                    total = jnp.where(fv[None, :] != 1, -65504.0, total)
+                    idx = jnp.arange(B * T)
+                    same = (idx[:, None] // T) == (idx[None, :] // T)
+                    offdiag = same & (idx[:, None] != idx[None, :])
+                    total = jnp.where(offdiag, -65504.0, total)
+                    diag_p = jnp.diagonal(jax.nn.softmax(total, axis=1))
+                    aux = jnp.sum(jnp.log(diag_p * fv + 1e-7) * fv) / (
+                        -1.0 * jnp.maximum(jnp.sum(fv), 1.0))
+                elif "cosine" in aux_type:
+                    per = _cosine_rows(pf, tf_)
+                    aux = -(jnp.sum(per * fv)
+                            / jnp.maximum(jnp.sum(fv), 1.0))
+                elif "l2" in aux_type:
+                    per = jnp.mean((pf - tf_) ** 2, axis=1)
+                    aux = jnp.sum(per * fv) / jnp.maximum(jnp.sum(fv), 1.0)
         return logits, None, aux
 
 
@@ -606,17 +729,28 @@ def register_legacy(register) -> None:
         "cross_transformer_txt_vslt": CROSS_TRANSFORMER,
         "bi_cross_transformer_txt_vslt": CROSS_TRANSFORMER,
         "mbt_v1": TRI_MBT_V1,
-        "auxcpc_early": part(AUXCPC, vslt_kind="ttrans", fusion="early"),
-        "auxcpc_early2": part(AUXCPC, vslt_kind="ttrans", fusion="early"),
-        "auxcpc_early_ct": part(AUXCPC, vslt_kind="ttrans", fusion="cross"),
+        # fusion x wiring per reference file (see AUXCPC docstring)
+        "auxcpc_early": part(AUXCPC, vslt_kind="ttrans", fusion="early",
+                             wiring="predict"),
+        "auxcpc_early2": part(AUXCPC, vslt_kind="ttrans", fusion="early",
+                              wiring="predict", post_ln=True),
+        "auxcpc_early_ct": part(AUXCPC, vslt_kind="ttrans", fusion="early",
+                                wiring="ct"),
         "auxcpc_early_direct": part(AUXCPC, vslt_kind="ttrans",
-                                    fusion="early"),
-        "auxcpc_grudtxt": part(AUXCPC, vslt_kind="grud", fusion="early"),
-        "auxcpc_grudtxt_ct": part(AUXCPC, vslt_kind="grud", fusion="cross"),
-        "auxcpc_grudtxt_dir": part(AUXCPC, vslt_kind="grud", fusion="early"),
-        "auxcpc_mbt": part(AUXCPC, vslt_kind="ttrans", fusion="mbt"),
-        "auxcpc_mbt_ct": part(AUXCPC, vslt_kind="ttrans", fusion="mbt"),
-        "auxcpc_mbt_direct": part(AUXCPC, vslt_kind="ttrans", fusion="mbt"),
+                                    fusion="early", wiring="direct",
+                                    post_ln=True),
+        "auxcpc_grudtxt": part(AUXCPC, vslt_kind="grud", fusion="early",
+                               wiring="predict"),
+        "auxcpc_grudtxt_ct": part(AUXCPC, vslt_kind="grud", fusion="early",
+                                  wiring="ct"),
+        "auxcpc_grudtxt_dir": part(AUXCPC, vslt_kind="grud", fusion="early",
+                                   wiring="direct", post_ln=True),
+        "auxcpc_mbt": part(AUXCPC, vslt_kind="ttrans", fusion="mbt",
+                           wiring="predict"),
+        "auxcpc_mbt_ct": part(AUXCPC, vslt_kind="ttrans", fusion="mbt",
+                              wiring="ct"),
+        "auxcpc_mbt_direct": part(AUXCPC, vslt_kind="ttrans", fusion="mbt",
+                                  wiring="direct"),
         # 6_tri_vslt_img_txt
         "earlyfusion_img_txt_vslt": EARLYFUSION,
         "mbt_v2": TRI_MBT_VSLTCLS,

@@ -126,6 +126,85 @@ def test_auxcpc_modes():
         assert np.isfinite(float(aux)), aux_type
 
 
+def _batch_pretrain(cfg, B=2, T_long=36, seed=1):
+    """Pretrain-length windows (> t_samples=24) activate the CPC future
+    split (auxcpc_early.py:172-180)."""
+    rng = np.random.default_rng(seed)
+    b = _batch(cfg, B=B, seed=seed)
+    b["vslt"] = rng.uniform(0, 1, (B, 3, T_long, cfg.vslt_len)).astype(np.float32)
+    b["input_length"] = rng.integers(20, T_long, B).astype(np.int32)
+    f = np.zeros((B, 36), np.float32)
+    f[:, -12:] = rng.integers(0, 2, (B, 12)).astype(np.float32)
+    f[:, -1] = 1.0  # at least one valid target per sample
+    b["f_indices"] = f
+    return b
+
+
+def _run_pretrain(model_name, aux_type, det=True):
+    cfg = _cfg(model_name, "vslt_txt").replace(auxiliary_loss_type=aux_type)
+    model = get_model(cfg)
+    batch = jax.tree.map(jnp.asarray, _batch_pretrain(cfg))
+    missing_num = compute_missing_num(cfg, batch["missing"])
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, batch,
+                           missing_num, True)
+    logits, _, aux = model.apply(variables, batch, missing_num, det)
+    return np.asarray(logits), aux, variables
+
+
+@pytest.mark.parametrize("name,aux_type", [
+    ("auxcpc_early", "cpc"), ("auxcpc_early", "cosine"),
+    ("auxcpc_early", "l2"), ("auxcpc_early", "cpcWbrl"),
+    ("auxcpc_early2", "cpc"),
+    ("auxcpc_early_direct", "l2"), ("auxcpc_grudtxt", "cpc"),
+    ("auxcpc_grudtxt_dir", "cosine"),
+    ("auxcpc_mbt", "cpc"), ("auxcpc_mbt_direct", "l2"),
+])
+def test_auxcpc_predict_wirings_active_on_pretrain_windows(name, aux_type):
+    logits, aux, _ = _run_pretrain(name, aux_type)
+    assert logits.shape == (2,)
+    assert np.isfinite(float(aux))
+    assert float(aux) != 0.0, f"{name}/{aux_type} aux should be live"
+
+
+@pytest.mark.parametrize("name", ["auxcpc_early_ct", "auxcpc_grudtxt_ct",
+                                  "auxcpc_mbt_ct"])
+def test_auxcpc_ct_mirror(name):
+    """_ct wiring: cosine/l2 compare c_t against a mirror cls built from
+    the future steps through the SAME fusion (auxcpc_early_ct.py:200-210);
+    'cpc' has no branch in the _ct files and contributes 0."""
+    _, aux_cos, variables = _run_pretrain(name, "cosine")
+    assert np.isfinite(float(aux_cos)) and float(aux_cos) != 0.0
+    # shared fusion: no extra encoder params beyond the mirror LayerNorm
+    names = {p for p in variables["params"]}
+    assert "layer_norms_after_concat_mirror" in names
+    _, aux_cpc, _ = _run_pretrain(name, "cpc")
+    assert float(aux_cpc) == 0.0
+
+
+def test_auxcpc_direct_predicts_raw_features():
+    """direct wiring: ct_weight maps to the raw feature dim, not D
+    (auxcpc_early_direct.py:107)."""
+    cfg = _cfg("auxcpc_early_direct", "vslt_txt").replace(
+        auxiliary_loss_type="l2")
+    model = get_model(cfg)
+    batch = jax.tree.map(jnp.asarray, _batch_pretrain(cfg))
+    missing_num = compute_missing_num(cfg, batch["missing"])
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, batch,
+                           missing_num, True)
+    ctw = variables["params"]["ct_weight"]
+    assert ctw.shape == (12, cfg.transformer_dim, cfg.vslt_len)
+
+    cfg_p = _cfg("auxcpc_early", "vslt_txt").replace(
+        auxiliary_loss_type="l2")
+    model_p = get_model(cfg_p)
+    variables_p = model_p.init({"params": rng, "dropout": rng}, batch,
+                               missing_num, True)
+    assert variables_p["params"]["ct_weight"].shape == \
+        (12, cfg.transformer_dim, cfg.transformer_dim)
+
+
 def test_registry_covers_reference_legacy_names():
     names = set(available_models())
     required = set(UNI_VSLT + UNI_IMAGE + BI_IMG + BI_TXT + [
