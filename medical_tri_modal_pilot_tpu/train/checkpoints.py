@@ -59,13 +59,49 @@ def restore_into_state(state, payload: Dict[str, Any], with_optimizer: bool = Tr
 
     def like_structure(tmpl, val):
         """Rebuild ``val`` with ``tmpl``'s tree structure when a serializer
-        lost tuple/namedtuple containers (orbax restores them as lists of
-        dicts). Leaf order matches because optax state fields flatten
-        alphabetically either way (count/mu/nu, trace, ...)."""
+        lost tuple/namedtuple containers (orbax restores namedtuples as
+        dicts keyed by field name and tuples as lists). Matches nodes by
+        *name*, never by flattened leaf position, so same-shaped optimizer
+        leaves (e.g. adam's mu vs nu) cannot be silently swapped."""
         if jax.tree.structure(tmpl) == jax.tree.structure(val):
             return val
-        return jax.tree.unflatten(jax.tree.structure(tmpl),
-                                  jax.tree.leaves(val))
+
+        def rebuild(t, v):
+            import flax.core
+            if isinstance(t, flax.core.FrozenDict):
+                return flax.core.freeze(rebuild(dict(t), dict(v)))
+            if isinstance(t, dict):
+                if not isinstance(v, dict) or set(v) != set(t):
+                    raise ValueError(
+                        f"checkpoint dict keys {sorted(v) if isinstance(v, dict) else type(v)} "
+                        f"do not match state keys {sorted(t)}")
+                return {k: rebuild(t[k], v[k]) for k in t}
+            if isinstance(t, tuple) and hasattr(t, "_fields"):  # namedtuple
+                if not t._fields:   # e.g. optax.EmptyState — orbax may
+                    return type(t)()  # restore it as None/[]/{}
+                if isinstance(v, dict):
+                    if set(v) != set(t._fields):
+                        raise ValueError(
+                            f"checkpoint fields {sorted(v)} do not match "
+                            f"optimizer state fields {sorted(t._fields)}")
+                    return type(t)(*(rebuild(getattr(t, f), v[f])
+                                     for f in t._fields))
+                v = list(v) if isinstance(v, (list, tuple)) else [v]
+                if len(v) != len(t._fields):
+                    raise ValueError(
+                        f"checkpoint has {len(v)} entries for "
+                        f"{type(t).__name__}({','.join(t._fields)})")
+                return type(t)(*(rebuild(g, w) for g, w in zip(t, v)))
+            if isinstance(t, (tuple, list)):
+                if not isinstance(v, (tuple, list)) or len(v) != len(t):
+                    raise ValueError(
+                        f"checkpoint sequence length {len(v) if isinstance(v, (tuple, list)) else type(v)} "
+                        f"!= state length {len(t)}")
+                out = [rebuild(g, w) for g, w in zip(t, v)]
+                return tuple(out) if isinstance(t, tuple) else out
+            return v  # leaf (or opaque node like optax.EmptyState)
+
+        return rebuild(tmpl, val)
 
     new = state.replace(
         params=put_like(state.params, like_structure(state.params,

@@ -326,11 +326,17 @@ class Trainer:
         (logits, rmse, _aux), _ = self._apply(
             state.params, state.batch_stats, batch, missing_num, True)
         logits = logits.astype(jnp.float32)
-        loss = compute_loss(cfg, logits,
-                            None if rmse is None else rmse.astype(jnp.float32),
-                            batch["target"], batch["target_aux"],
-                            batch["missing"], missing_num)
         out = select_eval_output(cfg, logits, missing_num)
+        if cfg.model_types == "classification":
+            loss = compute_loss(cfg, logits,
+                                None if rmse is None else rmse.astype(jnp.float32),
+                                batch["target"], batch["target_aux"],
+                                batch["missing"], missing_num)
+        else:
+            # reference eval loss is BCE on the per-sample *selected* output
+            # for the multi / vnoshnoavgtr families, and plain BCE (no rmse
+            # aux term) otherwise (trainer.py:218-233)
+            loss = _bce(out, batch["target"]).mean()
         probs = jax.nn.sigmoid(out)
         return probs, loss
 

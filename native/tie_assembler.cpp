@@ -36,7 +36,14 @@ int assemble_one(const StayView& s, int key, int length, int tie_len,
                  bool realtime, bool adjust_key, float* out) {
   // trim empty (None) edge hours — an hour h is empty when
   // hour_off[h+1] == hour_off[h] (window.py:trim_nones)
-  const int start = key - length + 1;       // original window start
+  int start = key - length + 1;             // original window start
+  if (start < 0) {
+    // possibleWinSizes guarantees length <= key+1, so this is unreachable
+    // on well-formed pkls; clamp anyway so a malformed record can't drive
+    // the edge-trim scan below off the front of the hour_off block
+    length += start;
+    start = 0;
+  }
   const int orig_key = key;
   int early = 0, late = 0;
   bool first_empty = s.hour_off[start + 1] == s.hour_off[start];
