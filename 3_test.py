@@ -43,6 +43,8 @@ def main() -> None:
         sys.exit(1)
 
     agg = ResultsAggregator("test (all ckpts)")
+    trainer = None   # built once (eval-only: no optimizer state, no
+    #                  train-step compile) and reused across the ckpt walk
     for k_indx, path in enumerate(ckpts):
         random.seed(cfg.seed)
         np.random.seed(cfg.seed)
@@ -51,9 +53,11 @@ def main() -> None:
         if len(test_loader) == 0:
             print("empty test loader")
             continue
-        model = get_model(cfg)
-        sample_batch = next(iter(test_loader))
-        trainer = Trainer(cfg, model, 1, sample_batch, seed=cfg.seed)
+        if trainer is None:
+            model = get_model(cfg)
+            sample_batch = next(iter(test_loader))
+            trainer = Trainer(cfg, model, 1, sample_batch, seed=cfg.seed,
+                              eval_only=True)
         payload = load_checkpoint_any(cfg.ckpt_backend, path)
         trainer.state = restore_into_state(trainer.state, payload,
                                            with_optimizer=False)

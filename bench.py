@@ -5,30 +5,56 @@ Runs the flagship tri_mbt_vsltcls configuration from BASELINE.json
 128x768) with the full jitted train step (fwd+bwd+AdamW) on synthetic
 device-shaped batches, isolating device throughput from disk I/O.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference repo publishes no throughput numbers (BASELINE.md) —
-``vs_baseline`` is reported against the BASELINE.json north-star
-denominator definition (reference PyTorch single-GPU samples/sec at batch
-64); that denominator is not measurable in this environment, so we report
-the ratio against a conservative literature-scale estimate recorded below.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+``vs_baseline`` denominator: the reference publishes no throughput numbers
+(SURVEY.md §6) and its CUDA target isn't present here, so the denominator
+is MEASURED — tools/bench_reference_torch.py executes the reference's own
+TRI_MBT_VSLTCLS from /root/reference (torch CPU) on this host and records
+BASELINE_TORCH.json. The host has a single CPU core, so the ratio mostly
+reflects TPU-vs-1-core-CPU; ``denominator_provenance`` says so, and
+``vs_gpu_estimate`` (vs a literature-scale 400 samples/s single-GPU guess)
+plus ``mfu`` (absolute, FLOPs from XLA cost analysis over the measured
+step time against the chip's calibrated matmul rate) are reported so the
+number can't mislead.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-# Conservative estimate of the reference's PyTorch fp16 single-A100
-# throughput for this model shape (batch 64, ~7 GFLOP/sample fwd+bwd with a
-# frozen Swin-T fwd): measured proxies put torch eager at 200-400
-# samples/sec; we use the favorable-to-the-reference upper end.
-REFERENCE_GPU_SAMPLES_PER_SEC = 400.0
+# Secondary, clearly-labeled context number: literature-scale estimate of
+# the reference's PyTorch fp16 single-A100 throughput for this model shape.
+REFERENCE_GPU_ESTIMATE = 400.0
 
 BATCH = 64
 WARMUP = 3
 ITERS = 20
 WINDOWS = 3
+
+
+def _calibrate_matmul_tflops() -> float:
+    """Best-of-3 big bf16 matmul rate on this chip (the achievable peak
+    under the time-shared tunnel; used as the MFU denominator)."""
+    import jax
+    import jax.numpy as jnp
+    n = 4096
+    a = jnp.ones((n, n), jnp.bfloat16)
+    b = jnp.ones((n, n), jnp.bfloat16)
+    f = jax.jit(lambda a, b: a @ b)
+    _ = float(f(a, b)[0, 0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = f(a, b)
+        for _ in range(9):
+            o = f(o, b)
+        _ = float(o[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    return 10 * 2 * n ** 3 / best / 1e12
 
 
 def main() -> None:
@@ -69,6 +95,13 @@ def main() -> None:
     #                   the tunneled TPU backend; only value materialization
     #                   actually waits for execution
 
+    try:
+        cost = trainer._train_step.lower(
+            trainer.state, dbatch, rng).compile().cost_analysis()
+        step_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        step_flops = 0.0
+
     # The TPU may be tunneled/time-shared: consecutive identical windows
     # have been observed to differ ~2x under external load. Take the best
     # of WINDOWS timing windows — closest to unloaded-hardware throughput.
@@ -85,11 +118,38 @@ def main() -> None:
 
     n_chips = len(jax.devices())
     samples_per_sec_per_chip = BATCH * ITERS / best_dt / n_chips
+    step_ms = best_dt / ITERS * 1000
+
+    calibrated_tflops = _calibrate_matmul_tflops()
+    mfu = (step_flops / (best_dt / ITERS) / (calibrated_tflops * 1e12)
+           if step_flops else None)
+
+    denom_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_TORCH.json")
+    if os.path.exists(denom_path):
+        with open(denom_path) as f:
+            denom = json.load(f)
+        denom_sps = denom["samples_per_sec"]
+        provenance = denom["provenance"]
+    else:
+        denom_sps = REFERENCE_GPU_ESTIMATE
+        provenance = ("BASELINE_TORCH.json missing — fell back to the "
+                      "400 samples/s literature-scale GPU estimate")
+
     print(json.dumps({
         "metric": "tri-modal train samples/sec/chip (batch 64, TIE-1000, swin frozen)",
         "value": round(samples_per_sec_per_chip, 2),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(samples_per_sec_per_chip / REFERENCE_GPU_SAMPLES_PER_SEC, 3),
+        "vs_baseline": round(samples_per_sec_per_chip / denom_sps, 3),
+        "denominator_provenance": provenance,
+        "denominator_samples_per_sec": denom_sps,
+        "vs_gpu_estimate": round(samples_per_sec_per_chip
+                                 / REFERENCE_GPU_ESTIMATE, 3),
+        "step_ms": round(step_ms, 1),
+        "step_gflops_xla": round(step_flops / 1e9, 1),
+        "calibrated_matmul_tflops": round(calibrated_tflops, 1),
+        "mfu_vs_calibrated": round(mfu, 3) if mfu is not None else None,
+        "device_kind": jax.devices()[0].device_kind,
     }))
 
 

@@ -81,6 +81,40 @@ def available_models():
     return sorted(_REGISTRY)
 
 
+# Models whose swin trunk runs under torch.no_grad in the reference: the
+# trunk's grads are None there, so torch's AdamW SKIPS those params (no
+# update, no weight decay, no moment state). The trainer mirrors that with
+# optax.masked over the ``img_encoder`` subtree — without it, optax would
+# weight-decay the frozen encoder (drift) and waste optimizer bandwidth.
+_ALWAYS_FROZEN_IMG = {
+    # tri_mbt_v1.py:228 wraps the swin call in no_grad unconditionally
+    "tri_mbt_v1", "bi_vsltimg_mbt_v1", "bi_vslttxt_mbt_v1",
+}
+_PRETRAIN_FROZEN_IMG = {
+    # flagship rule (tri_mbt_vsltcls.py:208-209): no_grad swin; the
+    # reference constructs it frozen regardless, but only the pretrained
+    # configuration is meaningful — mirror ImageEncoder's dispatch
+    "tri_mbt_vsltcls", "tri_mbt_vsltcls_noshareumse",
+    "biimg_mbt_vsltcls", "bitxt_mbt_vsltcls",
+    "tri_mbt_vflexible", "tri_mbt_vflexible2", "tri_mbt_vflexible3",
+    "biimg_mbt_vflexible1", "bitxt_mbt_vflexible1",
+    "tri_mbt_vnoshavgtr", "tri_mbt_vnoshnoavgtr",
+    "tri_mbt_vmulti", "tri_mbt_vmulti2", "tri_mbt_vmultivslt",
+    "tri_mt_v1", "biimg_mt_v1", "bitxt_mt_v1", "mt_v1",
+}
+
+
+def frozen_img_trunk(cfg: Config) -> bool:
+    """True when the model's swin image trunk receives zero gradients
+    (jax.lax.stop_gradient in ImageEncoder), i.e. the param subtree named
+    ``img_encoder`` must be excluded from optimizer updates."""
+    if "img" not in cfg.input_types or cfg.img_model_type != "swin":
+        return False
+    if cfg.model in _ALWAYS_FROZEN_IMG:
+        return True
+    return cfg.model in _PRETRAIN_FROZEN_IMG and cfg.img_pretrain == "Yes"
+
+
 def register(name: str, ctor: Callable) -> None:
     _REGISTRY[name] = ctor
 

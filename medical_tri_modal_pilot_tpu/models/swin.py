@@ -15,7 +15,6 @@ statically with numpy at trace time.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Tuple
 
@@ -24,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..constants import MASK_FILL_VALUE
 
 
 def _rel_position_index(window: int) -> np.ndarray:
@@ -53,6 +51,36 @@ def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
     return mw[:, :, None] != mw[:, None, :]
 
 
+class _LinearParams(nn.Module):
+    """Declares nn.Dense-shaped params (kernel/bias, same names and
+    initializers) and returns them raw, so the window-attention impl can
+    fuse the matmuls; the param tree stays converter-compatible."""
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+# window-attention impl dispatch (ops.configure swaps in the Pallas fused
+# kernel on TPU; see kernels/swin_attention.py)
+from ..kernels.swin_attention import xla_window_attention as _xla_wa
+
+_WINDOW_ATTN_IMPL = _xla_wa
+
+
+def set_window_attention_impl(fn) -> None:
+    global _WINDOW_ATTN_IMPL
+    _WINDOW_ATTN_IMPL = fn
+
+
+def get_window_attention_impl():
+    return _WINDOW_ATTN_IMPL
+
+
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
@@ -69,42 +97,30 @@ class WindowAttention(nn.Module):
         # pretrained-weight parity
         if win >= min(H, Wd):
             shift = 0
-        nh, dh = self.num_heads, self.dim // self.num_heads
+        nh = self.num_heads
+        N = win * win
 
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
 
         nH, nW = H // win, Wd // win
         xw = x.reshape(B, nH, win, nW, win, C).transpose(0, 1, 3, 2, 4, 5)
-        xw = xw.reshape(B * nH * nW, win * win, C)
+        xw = xw.reshape(B * nH * nW, N, C)
 
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(xw)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        N = win * win
-        q = q.reshape(-1, N, nh, dh).transpose(0, 2, 1, 3)
-        k = k.reshape(-1, N, nh, dh).transpose(0, 2, 1, 3)
-        v = v.reshape(-1, N, nh, dh).transpose(0, 2, 1, 3)
-
+        wqkv, bqkv = _LinearParams(3 * self.dim, name="qkv")(C)
+        wproj, bproj = _LinearParams(self.dim, name="proj")(C)
         bias_table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
             ((2 * win - 1) ** 2, nh))
         rel_idx = _rel_position_index(win)
         bias = bias_table[rel_idx.reshape(-1)].reshape(N, N, nh)
-        bias = bias.transpose(2, 0, 1)[None]                  # [1, nh, N, N]
+        bias = bias.transpose(2, 0, 1)                        # [nh, N, N]
+        smask = (jnp.asarray(_shift_attn_mask(H, Wd, win, shift))
+                 if shift > 0 else None)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(dh) + bias.astype(scores.dtype)
-        if shift > 0:
-            smask = jnp.asarray(_shift_attn_mask(H, Wd, win, shift))  # [nWt,N,N]
-            scores = scores.reshape(B, nH * nW, nh, N, N)
-            scores = jnp.where(smask[None, :, None], MASK_FILL_VALUE, scores)
-            scores = scores.reshape(B * nH * nW, nh, N, N)
-        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(-1, N, self.dim)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = _WINDOW_ATTN_IMPL(xw.astype(self.dtype), wqkv, bqkv, wproj,
+                                bproj, bias, smask, nh)
 
         out = out.reshape(B, nH, nW, win, win, C).transpose(0, 1, 3, 2, 4, 5)
         out = out.reshape(B, H, Wd, C)

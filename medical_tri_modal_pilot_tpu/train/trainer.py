@@ -122,7 +122,23 @@ def build_schedule(cfg: Config, iters_per_epoch: int) -> Callable:
         min_lr=1e-6, warmup_steps=cfg.t_up * iters_per_epoch)
 
 
-def build_optimizer(cfg: Config, schedule: Callable) -> optax.GradientTransformation:
+def _trainable_mask(params):
+    """False for leaves under an ``img_encoder`` subtree (the frozen swin
+    trunk): the reference's no_grad leaves those grads None and torch skips
+    them entirely — no update, no weight decay, no moment state
+    (tri_mbt_vsltcls.py:208-209 + torch.optim None-grad semantics)."""
+    def rec(node, frozen):
+        if isinstance(node, (dict, FrozenDict)):
+            out = {k: rec(v, frozen or k == "img_encoder")
+                   for k, v in node.items()}
+            return FrozenDict(out) if isinstance(node, FrozenDict) else out
+        return not frozen
+
+    return rec(params, False)
+
+
+def build_optimizer(cfg: Config, schedule: Callable,
+                    mask_frozen_img: bool = False) -> optax.GradientTransformation:
     kind = cfg.optim.replace("_lars", "")
     if kind == "adamw":
         tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
@@ -133,6 +149,8 @@ def build_optimizer(cfg: Config, schedule: Callable) -> optax.GradientTransforma
     if cfg.optim.endswith("_lars"):
         # LARC trust-ratio clipping (builder/utils/lars.py:5-101)
         tx = optax.chain(optax.scale_by_trust_ratio(), tx)
+    if mask_frozen_img:
+        tx = optax.masked(tx, _trainable_mask)
     return tx
 
 
@@ -210,14 +228,18 @@ class Trainer:
     """Owns the mesh, the compiled step functions, and the train state."""
 
     def __init__(self, cfg: Config, model, iters_per_epoch: int,
-                 sample_batch: Dict[str, np.ndarray], seed: int = 0):
+                 sample_batch: Dict[str, np.ndarray], seed: int = 0,
+                 eval_only: bool = False):
         from .. import ops
         ops.configure(bool(cfg.use_pallas) and jax.default_backend() == "tpu")
         self.cfg = cfg
         self.model = model
+        self.eval_only = eval_only
         self.mesh = make_mesh(cfg.dp_size, cfg.batch_size)
         self.schedule = build_schedule(cfg, max(iters_per_epoch, 1))
-        self.tx = build_optimizer(cfg, self.schedule)
+        from ..models.registry import frozen_img_trunk
+        self.tx = None if eval_only else build_optimizer(
+            cfg, self.schedule, mask_frozen_img=frozen_img_trunk(cfg))
         self._rng = jax.random.PRNGKey(seed)
 
         batch = self._device_batch(sample_batch)
@@ -234,9 +256,10 @@ class Trainer:
         rep = replicated_sharding(self.mesh)
         params = jax.device_put(params, rep)
         batch_stats = jax.device_put(batch_stats, rep)
+        opt_state = (optax.EmptyState() if eval_only
+                     else jax.device_put(self.tx.init(params), rep))
         self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                                batch_stats=batch_stats,
-                                opt_state=jax.device_put(self.tx.init(params), rep))
+                                batch_stats=batch_stats, opt_state=opt_state)
 
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0,))

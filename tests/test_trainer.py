@@ -176,3 +176,53 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         np.asarray(a), np.asarray(b)), restored.params, trainer.state.params)
     assert jax.tree.structure(restored.opt_state) == jax.tree.structure(
         fresh.state.opt_state)
+
+
+def test_frozen_swin_trunk_excluded_from_optimizer():
+    """The reference runs swin under no_grad -> grads None -> torch AdamW
+    skips those params entirely (no update, no weight decay, no moments).
+    optax.masked must reproduce that: img_encoder params bitwise unchanged
+    after a step, other params updated, masked moment leaves absent."""
+    import jax
+    import optax
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _synthetic_batch
+    from medical_tri_modal_pilot_tpu.config import parse_config
+    from medical_tri_modal_pilot_tpu.models import get_model
+    from medical_tri_modal_pilot_tpu.models.registry import frozen_img_trunk
+    from medical_tri_modal_pilot_tpu.train.trainer import Trainer
+
+    cfg = parse_config([
+        "--input-types", "vslt_img_txt", "--output-type", "intubation",
+        "--modality-inclusion", "train-missing_test-missing",
+        "--model", "tri_mbt_vsltcls", "--batch-size", "2",
+        "--TIE-len", "16", "--transformer-num-layers", "1",
+        "--transformer-dim", "64", "--transformer-num-head", "2",
+        "--img-model-type", "swin", "--img-pretrain", "Yes",
+        "--image-size", "224", "--precision", "fp32",
+        "--weight_decay", "0.1",
+    ])
+    assert frozen_img_trunk(cfg)
+    model = get_model(cfg)
+    batch = _synthetic_batch(cfg, 2)
+    tr = Trainer(cfg, model, 10, batch, seed=0)
+
+    def img_subtree(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in flat
+                if "img_encoder" in jax.tree_util.keystr(kp)}
+
+    before = img_subtree(tr.state.params)
+    assert before, "expected an img_encoder subtree"
+    other_before = np.asarray(jax.tree.leaves(
+        {k: v for k, v in tr.state.params.items()})[0]).copy()
+    tr.train_step(batch)
+    after = img_subtree(tr.state.params)
+    for k in before:
+        np.testing.assert_array_equal(before[k], after[k])
+    # masked leaves carry MaskedNode (no moment buffers) in the adam state
+    masked_nodes = [x for x in jax.tree.leaves(
+        tr.state.opt_state, is_leaf=lambda n: isinstance(n, optax.MaskedNode))
+        if isinstance(n := x, optax.MaskedNode)]
+    assert masked_nodes, "expected MaskedNode entries for the frozen trunk"
