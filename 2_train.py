@@ -106,17 +106,34 @@ def main() -> None:
         step_ckpt_path = ckpt_path(seed_cfg.dir_result,
                                    seed_cfg.project_name, "last",
                                    k_indx, seed_cfg.seed)
-        for epoch in range(start_epoch, seed_cfg.epochs + 1):
-            epoch_loss = 0.0
-            for it, batch in enumerate(trainer.prefetch(train_loader)):
-                loss = trainer.train_step(batch, on_device=True)
+
+        # K optimizer steps per device dispatch (lax.scan super-batches,
+        # trainer.train_multi): amortizes the host->device dispatch latency,
+        # which is significant behind the tunneled TPU backend. 0 = auto.
+        multi_k = seed_cfg.train_multi_k
+        if multi_k == 0:
+            import jax
+            multi_k = (4 if (seed_cfg.vslt_type in ("TIE", "QIE")
+                             and jax.default_backend() == "tpu") else 1)
+
+        def run_steps(batches, epoch):
+            """One dispatch for len(batches) optimizer steps; returns the
+            per-step losses. Tail chunks (< multi_k) take single steps so
+            train_multi compiles for exactly one K."""
+            nonlocal iteration
+            if len(batches) > 1:
+                stacked = {key: np.stack([b[key] for b in batches])
+                           for key in batches[0]}
+                losses = [float(x) for x in
+                          np.asarray(trainer.train_multi(stacked))]
+            else:
+                losses = [float(trainer.train_step(batches[0]))]
+            for loss_f in losses:
                 iteration += 1
                 if seed_cfg.profile_dir and iteration == 10:
                     import jax
                     jax.profiler.stop_trace()
                 if iteration % seed_cfg.log_iter == 0:
-                    loss_f = float(loss)
-                    epoch_loss += loss_f
                     logger.log_train(loss_f, trainer.current_lr(), iteration)
                 if (seed_cfg.checkpoint_every > 0
                         and iteration % seed_cfg.checkpoint_every == 0):
@@ -125,6 +142,34 @@ def main() -> None:
                     async_ckpt.save(step_ckpt_path, trainer.state,
                                     logger.best_score, epoch,
                                     logger.best_iter, iteration)
+
+        for epoch in range(start_epoch, seed_cfg.epochs + 1):
+            if multi_k > 1:
+                pending = []
+                for batch in train_loader:
+                    pending.append(batch)
+                    if len(pending) == multi_k:
+                        run_steps(pending, epoch)
+                        pending = []
+                while pending:   # epoch tail: single steps
+                    run_steps(pending[:1], epoch)
+                    pending = pending[1:]
+            else:
+                for batch in trainer.prefetch(train_loader):
+                    loss = trainer.train_step(batch, on_device=True)
+                    run_steps_log = float(loss)
+                    iteration += 1
+                    if seed_cfg.profile_dir and iteration == 10:
+                        import jax
+                        jax.profiler.stop_trace()
+                    if iteration % seed_cfg.log_iter == 0:
+                        logger.log_train(run_steps_log, trainer.current_lr(),
+                                         iteration)
+                    if (seed_cfg.checkpoint_every > 0
+                            and iteration % seed_cfg.checkpoint_every == 0):
+                        async_ckpt.save(step_ckpt_path, trainer.state,
+                                        logger.best_score, epoch,
+                                        logger.best_iter, iteration)
             # per-epoch validation (2_train.py:213-287)
             if len(val_loader) > 0:
                 val_loss = run_eval(trainer, val_loader, logger)

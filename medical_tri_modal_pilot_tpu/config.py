@@ -215,6 +215,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help='also save a "last" checkpoint every N steps (0 = per-eval only)')
     parser.add_argument('--profile-dir', type=str, default=None,
                         help='if set, write a jax.profiler trace of a few training steps here')
+    parser.add_argument('--train-multi-k', type=int, default=0,
+                        help='optimizer steps per device dispatch (lax.scan '
+                             'super-batches, amortizes host->device dispatch '
+                             'latency); 0 = auto (4 for TIE/QIE on TPU, else 1)')
     return parser
 
 
@@ -336,6 +340,7 @@ class Config:
     ckpt_backend: str
     checkpoint_every: int
     profile_dir: Optional[str]
+    train_multi_k: int
     # derived
     dir_root: str = "."
     log_fold: int = 0
