@@ -89,7 +89,17 @@ class _Base:
                      selected_key: int, min_time: float, rng: random.Random,
                      missing_comb: int, observed: bool):
         """Image branch (dataset_new.py:677-738). Returns (img, img_time,
-        missing flag)."""
+        missing flag).
+
+        Reference quirk preserved bug-for-bug: ``type_code`` here is the
+        POST-remap code (class2dict_missing, dataset_new.py:544-547/1203)
+        while the gate set (0, 2, 3, 5) is the PRE-remap image-available
+        set — so images silently go missing for remapped codes 1/4 (which
+        DO have images by key) and the gate passes for 2/3 (which don't;
+        their cxr_li filter comes up empty). Only remapped codes 0 and 5
+        actually load images, in training and eval alike — matching the
+        reference's shipped behavior (its own gate is dataset_new.py:677/
+        :1424 against the remapped self._type_list)."""
         cfg = self.cfg
         phase_full = "train-full" if self.phase == "train" else "test-full"
         phase_missing = "train-missing" if self.phase == "train" else "test-missing"

@@ -17,9 +17,19 @@ mid-sequence, and the multitoken MBT variants pass full [B, Lq, Lk] block
 masks (mbt_encoder.py:381-423). A 2D key mask is carried as [B, 1, Lk]
 and broadcast over query rows in-kernel; a 3D mask is tiled per q-block.
 
-Layout: q, k, v are [B, H, L, Dh]. Grid is (B*H, q_blocks); each step
-streams k/v blocks through the MXU with running max/denominator
-accumulators in VMEM.
+Padding-aware compute skipping: most of a batch is padding (TIE streams
+are truncated to --TIE-len but real stays are shorter). For 2D key masks
+the kernel takes a per-sample k-block count (scalar-prefetched) and stops
+the k loop at the last block containing any valid key. This is *exact*:
+masked keys in counted blocks underflow to 0 in the softmax whenever the
+row has one valid key, and an all-masked sample falls back to the full
+count so the reference's uniform-over-real-keys behavior (txt length==3
+-> 0 trick, mbt_encoder.py:707) is preserved bit-for-bit. The backward
+recomputes probabilities blockwise from row stats (m, l) saved by the
+forward and honors the same dynamic bound.
+
+Layout: q, k, v are [B, H, L, Dh]. Forward grid is (B*H, q_blocks);
+backward grid is (B*H,) with dq/dk/dv accumulated in VMEM carries.
 """
 from __future__ import annotations
 
@@ -36,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import MASK_FILL_VALUE
 
 PAD_NEG = -1e30  # array-padding fill: excluded from softmax entirely
+STATS_LANES = 8  # row stats stored [*, lq_pad, 8]: lane 0 = m, lane 1 = l
 
 
 def _round_up(x: int, m: int) -> int:
@@ -44,11 +55,11 @@ def _round_up(x: int, m: int) -> int:
 
 def _block_sizes(lq: int, lk: int):
     """Shape-adaptive tiles, measured on the target TPU at B=64, D=64:
-    (256, 1024) runs the TIE-1000 stream 1.8x faster than (128, 128) and
-    ~20% faster than the XLA attention path; short streams shrink to one
-    block so img/txt stacks don't pad to 1024 rows."""
+    block_q 256 runs the TIE-1000 stream ~1.8x faster than 128; block_k is
+    the k-loop granularity and also the skip granularity for the dynamic
+    per-sample bound — 256 balances loop overhead against skip resolution."""
     bq = min(256, _round_up(lq, 128))
-    bk = min(1024, _round_up(lk, 128))
+    bk = min(512, _round_up(lk, 128))
     return bq, bk
 
 
@@ -56,12 +67,27 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _kblock_counts(mask: jnp.ndarray, lk: int, n_kblocks: int,
+                   block_k: int) -> jnp.ndarray:
+    """Per-sample number of k blocks that contain any valid key.
+    mask: [B, Lq_m, Lk] int8 (1 = masked). All-masked samples use the full
+    count (reference uniform-softmax behavior must see every real key)."""
+    valid = (mask == 0).any(axis=1)                      # [B, Lk]
+    idx = jnp.arange(mask.shape[-1], dtype=jnp.int32)
+    last = jnp.max(jnp.where(valid, idx, -1), axis=1)    # [B]
+    return jnp.where(last < 0, n_kblocks,
+                     last // block_k + 1).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float,
-                l_real: int, n_kblocks: int, block_k: int):
+def _fwd_kernel(kc_ref, q_ref, k_ref, v_ref, m_ref, o_ref, st_ref, *,
+                scale: float, l_real: int, n_kblocks: int, block_k: int,
+                n_heads: int, combined_mask: bool):
+    bh = pl.program_id(0)
+    kcount = kc_ref[bh // n_heads]
     q = q_ref[0]                                       # [BLOCK_Q, D]
     acc = jnp.zeros((q.shape[0], q_ref.shape[-1]), jnp.float32)
     m_i = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
@@ -74,11 +100,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [BQ, BK]
-        mblk = m_ref[0, :, pl.ds(kb * block_k, block_k)]  # [1|BQ, BK] int8
-        s = jnp.where(mblk != 0, MASK_FILL_VALUE, s)
-        j = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1)
-        s = jnp.where(j >= l_real, PAD_NEG, s)
+        mblk = m_ref[0, :, pl.ds(kb * block_k, block_k)]  # [1|BQ, BK]
+        if combined_mask:
+            # f32: 0 = live, MASK_FILL_VALUE = masked, PAD_NEG = padding
+            s = jnp.where(mblk != 0.0, mblk.astype(jnp.float32), s)
+        else:
+            s = jnp.where(mblk != 0, MASK_FILL_VALUE, s)
+            j = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, dimension=1)
+            s = jnp.where(j >= l_real, PAD_NEG, s)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_i - m_new)
@@ -88,8 +118,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float,
             preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
-    acc, m_i, l_i = jax.lax.fori_loop(0, n_kblocks, body, (acc, m_i, l_i))
-    o_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+    acc, m_i, l_i = jax.lax.fori_loop(0, kcount, body, (acc, m_i, l_i))
+    l_safe = jnp.maximum(l_i, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    pad = jnp.zeros((q.shape[0], STATS_LANES - 2), jnp.float32)
+    st_ref[0] = jnp.concatenate([m_i, l_safe, pad], axis=1)
 
 
 def _pad_mask(mask, lq_pad: int, lk_pad: int):
@@ -101,111 +134,171 @@ def _pad_mask(mask, lq_pad: int, lk_pad: int):
                    constant_values=np.int8(1))
 
 
+def _combined_mask(mask, lk_pad: int):
+    """2D key masks precombined to one f32 replace-value array so the
+    kernel's k-loop does a single where: 0 = live, MASK_FILL_VALUE =
+    valid-but-masked (reference fill semantics, attention.py:38), PAD_NEG =
+    array padding (excluded from the softmax denominator)."""
+    lk = mask.shape[-1]
+    mf = jnp.where(mask != 0, jnp.float32(MASK_FILL_VALUE), jnp.float32(0.0))
+    return jnp.pad(mf, ((0, 0), (0, 0), (0, lk_pad - lk)),
+                   constant_values=PAD_NEG)
+
+
 def _fwd(q, k, v, mask, scale):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     block_q, block_k = _block_sizes(Lq, Lk)
     lq_pad = _round_up(Lq, block_q)
     lk_pad = _round_up(Lk, block_k)
+    n_kblocks = lk_pad // block_k
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
     qp = qp.reshape(B * H, lq_pad, D)
     kp = kp.reshape(B * H, lk_pad, D)
     vp = vp.reshape(B * H, lk_pad, D)
-    mp = _pad_mask(mask, lq_pad, lk_pad)
-    broadcast_q = mp.shape[1] == 1
+    broadcast_q = mask.shape[1] == 1
+    # dynamic skip bound only for 2D (broadcast) key masks: for 3D block
+    # masks a fully-masked row's uniform output depends on every real key
+    if broadcast_q:
+        mp = _combined_mask(mask, lk_pad)
+        kcounts = _kblock_counts(mask, Lk, n_kblocks, block_k)
+    else:
+        mp = _pad_mask(mask, lq_pad, lk_pad)
+        kcounts = jnp.full((B,), n_kblocks, jnp.int32)
 
     n_qblocks = lq_pad // block_q
     grid = (B * H, n_qblocks)
     if broadcast_q:
-        m_spec = pl.BlockSpec((1, 1, lk_pad), lambda bh, qi: (bh // H, 0, 0))
+        m_spec = pl.BlockSpec((1, 1, lk_pad),
+                              lambda bh, qi, kc: (bh // H, 0, 0))
     else:
         m_spec = pl.BlockSpec((1, block_q, lk_pad),
-                              lambda bh, qi: (bh // H, qi, 0))
+                              lambda bh, qi, kc: (bh // H, qi, 0))
     kern = functools.partial(
         _fwd_kernel, scale=scale, l_real=Lk,
-        n_kblocks=lk_pad // block_k, block_k=block_k)
-    out = pl.pallas_call(
+        n_kblocks=n_kblocks, block_k=block_k, n_heads=H,
+        combined_mask=broadcast_q)
+    out, stats = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, lk_pad, D), lambda bh, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, lk_pad, D), lambda bh, qi: (bh, 0, 0)),
-            m_spec,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda bh, qi, kc: (bh, qi, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, qi, kc: (bh, 0, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, qi, kc: (bh, 0, 0)),
+                m_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, D), lambda bh, qi, kc: (bh, qi, 0)),
+                pl.BlockSpec((1, block_q, STATS_LANES),
+                             lambda bh, qi, kc: (bh, qi, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, lq_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, lq_pad, STATS_LANES), jnp.float32),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, lq_pad, D), q.dtype),
         interpret=_interpret(),
-    )(qp, kp, vp, mp)
-    return out.reshape(B, H, lq_pad, D)[:, :, :Lq, :]
+    )(kcounts, qp, kp, vp, mp)
+    return out.reshape(B, H, lq_pad, D)[:, :, :Lq, :], stats, kcounts
 
 
 # ---------------------------------------------------------------------------
-# backward (recompute attention blockwise)
+# backward (blockwise, reusing the forward's row stats)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, m_ref,
-                dq_ref, dk_ref, dv_ref, *, scale: float, l_real: int,
-                lq_real: int, n_qblocks: int, block_q: int,
-                broadcast_q: bool):
-    """Grid over (B*H,). Recomputes softmax per (q-block) with full K in
-    VMEM; accumulates dk/dv across q blocks, writes dq per block."""
-    k = k_ref[0]                                        # [Lk, D]
-    v = v_ref[0]
+def _bwd_kernel(kc_ref, q_ref, k_ref, v_ref, do_ref, o_ref, st_ref, m_ref,
+                dq_ref, dk_ref, dv_ref, dq_s, *, scale: float, l_real: int,
+                lq_real: int, n_qblocks: int, n_kblocks: int, block_q: int,
+                block_k: int, broadcast_q: bool, n_heads: int):
+    # broadcast_q => m_ref is the combined f32 mask (0/MASK_FILL/PAD_NEG)
+    """Grid over (B*H,). p recomputed per (q-block, k-block) from saved
+    (m, l); dq/dk/dv accumulated in VMEM carries; the k loop stops at the
+    per-sample block count (skipped k rows keep their zero init — their
+    true gradient is zero because every query masks them)."""
+    bh = pl.program_id(0)
+    kcount = kc_ref[bh // n_heads]
+    D = q_ref.shape[-1]
 
-    dk_acc = jnp.zeros(k.shape, jnp.float32)
-    dv_acc = jnp.zeros(v.shape, jnp.float32)
+    # refs double as accumulators (Mosaic supports dynamic ref indexing,
+    # but not dynamic_update_slice on loop-carried values); dq accumulates
+    # across k blocks in an f32 scratch so a bf16 output dtype doesn't
+    # round at every += . Skipped k blocks keep the zero init — their true
+    # gradient is zero (every query masks them).
+    dq_s[...] = jnp.zeros((n_qblocks * block_q, D), jnp.float32)
+    dk_ref[0] = jnp.zeros((n_kblocks * block_k, D), dk_ref.dtype)
+    dv_ref[0] = jnp.zeros((n_kblocks * block_k, D), dv_ref.dtype)
 
-    def body(qi, carry):
-        dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(qi * block_q, block_q), :]
-        do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        o = o_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        if broadcast_q:
-            mblk = m_ref[0]                             # [1, Lk]
-        else:
-            mblk = m_ref[0, pl.ds(qi * block_q, block_q), :]  # [BQ, Lk]
-        masked = mblk != 0
-        j = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        s = jnp.where(masked, MASK_FILL_VALUE, s)
-        s = jnp.where(j >= l_real, PAD_NEG, s)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
-        # rows beyond the real query length contribute nothing
-        qrow = qi * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, 1), dimension=0)
-        row_valid = (qrow < lq_real).astype(jnp.float32)
-        dv_acc = dv_acc + jax.lax.dot_general(
-            (p * row_valid).astype(v.dtype), do.astype(v.dtype),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dpart = jax.lax.dot_general(do.astype(v.dtype), v,
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        delta = jnp.sum(do * o, axis=1, keepdims=True)
-        ds = p * (dpart - delta) * scale
-        # masked/padded lanes carry no score gradient (where() semantics)
-        ds = jnp.where(masked | (j >= l_real), 0.0, ds) * row_valid
-        dsd = ds.astype(k.dtype)
-        dq = jax.lax.dot_general(dsd, k, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dq_ref[0, pl.ds(qi * block_q, block_q), :] = dq.astype(dq_ref.dtype)
-        dk_acc = dk_acc + jax.lax.dot_general(
-            dsd, q.astype(k.dtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return dk_acc, dv_acc
+    def kbody(kb, _):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        jcol = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), dimension=1)
 
-    dk_acc, dv_acc = jax.lax.fori_loop(0, n_qblocks, body, (dk_acc, dv_acc))
-    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
-    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+        def qbody(qi, inner):
+            dk_blk, dv_blk = inner
+            q = q_ref[0, pl.ds(qi * block_q, block_q), :]
+            do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+            o = o_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+            st = st_ref[0, pl.ds(qi * block_q, block_q), :]
+            m_row = st[:, 0:1]
+            l_row = st[:, 1:2]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if broadcast_q:
+                mblk = m_ref[0, :, pl.ds(kb * block_k, block_k)]   # [1, BK] f32
+                masked = jnp.broadcast_to(mblk != 0.0, s.shape)
+                s = jnp.where(masked, mblk.astype(jnp.float32), s)
+            else:
+                mblk = m_ref[0, pl.ds(qi * block_q, block_q),
+                             pl.ds(kb * block_k, block_k)]         # [BQ, BK]
+                masked = (mblk != 0) | (jcol >= l_real)
+                s = jnp.where(mblk != 0, MASK_FILL_VALUE, s)
+                s = jnp.where(jcol >= l_real, PAD_NEG, s)
+            p = jnp.exp(s - m_row) / l_row
+            qrow = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), dimension=0)
+            row_valid = (qrow < lq_real).astype(jnp.float32)
+            pv = (p * row_valid).astype(v.dtype)
+            dv_blk = dv_blk + jax.lax.dot_general(
+                pv, do.astype(v.dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dpart = jax.lax.dot_general(
+                do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            delta = jnp.sum(do * o, axis=1, keepdims=True)
+            ds = p * (dpart - delta) * scale
+            ds = jnp.where(masked, 0.0, ds) * row_valid
+            dsd = ds.astype(k.dtype)
+            dq_upd = jax.lax.dot_general(
+                dsd, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq_s[pl.ds(qi * block_q, block_q), :] += dq_upd
+            dk_blk = dk_blk + jax.lax.dot_general(
+                dsd, q.astype(k.dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return dk_blk, dv_blk
+
+        dk_blk0 = jnp.zeros((block_k, D), jnp.float32)
+        dv_blk0 = jnp.zeros((block_k, D), jnp.float32)
+        dk_blk, dv_blk = jax.lax.fori_loop(
+            0, n_qblocks, qbody, (dk_blk0, dv_blk0))
+        dk_ref[0, pl.ds(kb * block_k, block_k), :] = dk_blk.astype(
+            dk_ref.dtype)
+        dv_ref[0, pl.ds(kb * block_k, block_k), :] = dv_blk.astype(
+            dv_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, kcount, kbody, 0)
+    dq_ref[0] = dq_s[...].astype(dq_ref.dtype)
 
 
 def _bwd(scale, res, g):
-    q, k, v, mask, o = res
+    q, k, v, mask, o, stats, kcounts = res
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     block_q, block_k = _block_sizes(Lq, Lk)
@@ -216,37 +309,45 @@ def _bwd(scale, res, g):
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0))).reshape(B * H, lk_pad, D)
     dop = jnp.pad(g, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0))).reshape(B * H, lq_pad, D)
     op = jnp.pad(o, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0))).reshape(B * H, lq_pad, D)
-    mp = _pad_mask(mask, lq_pad, lk_pad)
-    broadcast_q = mp.shape[1] == 1
+    broadcast_q = mask.shape[1] == 1
+    mp = (_combined_mask(mask, lk_pad) if broadcast_q
+          else _pad_mask(mask, lq_pad, lk_pad))
     m_rows = mp.shape[1]
 
     kern = functools.partial(
         _bwd_kernel, scale=scale, l_real=Lk, lq_real=Lq,
-        n_qblocks=lq_pad // block_q, block_q=block_q,
-        broadcast_q=broadcast_q)
+        n_qblocks=lq_pad // block_q, n_kblocks=lk_pad // block_k,
+        block_q=block_q, block_k=block_k, broadcast_q=broadcast_q,
+        n_heads=H)
     dq, dk, dv = pl.pallas_call(
         kern,
-        grid=(B * H,),
-        in_specs=[
-            pl.BlockSpec((1, lq_pad, D), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, lk_pad, D), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, lk_pad, D), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, lq_pad, D), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, lq_pad, D), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, m_rows, lk_pad), lambda bh: (bh // H, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, lq_pad, D), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, lk_pad, D), lambda bh: (bh, 0, 0)),
-            pl.BlockSpec((1, lk_pad, D), lambda bh: (bh, 0, 0)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * H,),
+            in_specs=[
+                pl.BlockSpec((1, lq_pad, D), lambda bh, kc: (bh, 0, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, kc: (bh, 0, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, kc: (bh, 0, 0)),
+                pl.BlockSpec((1, lq_pad, D), lambda bh, kc: (bh, 0, 0)),
+                pl.BlockSpec((1, lq_pad, D), lambda bh, kc: (bh, 0, 0)),
+                pl.BlockSpec((1, lq_pad, STATS_LANES),
+                             lambda bh, kc: (bh, 0, 0)),
+                pl.BlockSpec((1, m_rows, lk_pad), lambda bh, kc: (bh // H, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, lq_pad, D), lambda bh, kc: (bh, 0, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, kc: (bh, 0, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, kc: (bh, 0, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((lq_pad, D), jnp.float32)],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B * H, lq_pad, D), q.dtype),
             jax.ShapeDtypeStruct((B * H, lk_pad, D), k.dtype),
             jax.ShapeDtypeStruct((B * H, lk_pad, D), v.dtype),
         ],
         interpret=_interpret(),
-    )(qp, kp, vp, dop, op, mp)
+    )(kcounts, qp, kp, vp, dop, op, stats, mp)
     dq = dq.reshape(B, H, lq_pad, D)[:, :, :Lq, :]
     dk = dk.reshape(B, H, lk_pad, D)[:, :, :Lk, :]
     dv = dv.reshape(B, H, lk_pad, D)[:, :, :Lk, :]
@@ -255,12 +356,13 @@ def _bwd(scale, res, g):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _flash_attention(q, k, v, mask, scale):
-    return _fwd(q, k, v, mask, scale)
+    out, _, _ = _fwd(q, k, v, mask, scale)
+    return out
 
 
 def _flash_fwd(q, k, v, mask, scale):
-    o = _fwd(q, k, v, mask, scale)
-    return o, (q, k, v, mask, o)
+    o, stats, kcounts = _fwd(q, k, v, mask, scale)
+    return o, (q, k, v, mask, o, stats, kcounts)
 
 
 _flash_attention.defvjp(_flash_fwd, _bwd)

@@ -78,10 +78,14 @@ class ImageEncoder(nn.Module):
         if cfg.img_model_type == "swin":
             if cfg.multiimages == 1 and self.allow_multiimages:
                 img = img.reshape(-1, 1, cfg.image_size, cfg.image_size)
-            feats = SwinTransformer(in_channels=1, dtype=self.dtype,
-                                    name="img_encoder")(img, deterministic)
             freeze = (cfg.img_pretrain == "Yes" if self.freeze_override is None
                       else self.freeze_override)
+            # a frozen trunk runs in eval mode (the reference constructor
+            # calls img_encoder.eval(), tri_mbt_vsltcls.py:104), so
+            # stochastic depth only fires on the trainable-trunk path
+            feats = SwinTransformer(in_channels=1, dtype=self.dtype,
+                                    name="img_encoder")(
+                                        img, deterministic or freeze)
             if freeze:
                 feats = jax.lax.stop_gradient(feats)
             B = feats.shape[0]

@@ -65,11 +65,24 @@ class _LinearParams(nn.Module):
         return k, b
 
 
-# window-attention impl dispatch (ops.configure swaps in the Pallas fused
-# kernel on TPU; see kernels/swin_attention.py)
+class _LNParams(nn.Module):
+    """nn.LayerNorm-shaped params (scale/bias), returned raw."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
+# window-attention / mlp impl dispatch (ops.configure swaps in the Pallas
+# fused kernels on TPU; see kernels/swin_attention.py, kernels/swin_mlp.py)
 from ..kernels.swin_attention import xla_window_attention as _xla_wa
+from ..kernels.swin_mlp import xla_swin_mlp as _xla_mlp
 
 _WINDOW_ATTN_IMPL = _xla_wa
+_SWIN_MLP_IMPL = _xla_mlp
 
 
 def set_window_attention_impl(fn) -> None:
@@ -79,6 +92,11 @@ def set_window_attention_impl(fn) -> None:
 
 def get_window_attention_impl():
     return _WINDOW_ATTN_IMPL
+
+
+def set_swin_mlp_impl(fn) -> None:
+    global _SWIN_MLP_IMPL
+    _SWIN_MLP_IMPL = fn
 
 
 class WindowAttention(nn.Module):
@@ -136,19 +154,42 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    # torchvision trains swin_t with row-mode stochastic depth scaled per
+    # block (swin_transformer.py:577,421); active only when the trunk
+    # trains (the reference keeps the encoder in eval() when frozen)
+    sd_prob: float = 0.0
+
+    def _stochastic_depth(self, h):
+        keep = 1.0 - self.sd_prob
+        shape = (h.shape[0],) + (1,) * (h.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return h * mask.astype(h.dtype) / keep
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        sd_on = (not deterministic) and self.sd_prob > 0.0
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = WindowAttention(self.dim, self.num_heads, self.window, self.shift,
                             self.dtype, name="attn")(h)
+        if sd_on:
+            h = self._stochastic_depth(h)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
-                     name="mlp_fc1")(h)
-        h = jax.nn.gelu(h, approximate=False)  # torch GELU parity
-        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
-        return x + h
+        # LN -> fc1 -> exact gelu (torch parity) -> fc2 -> residual, fused
+        # in one VMEM pass on TPU (kernels/swin_mlp.py)
+        s, b = _LNParams(self.dim, name="norm2")()
+        w1, b1 = _LinearParams(int(self.dim * self.mlp_ratio),
+                               name="mlp_fc1")(self.dim)
+        w2, b2 = _LinearParams(self.dim, name="mlp_fc2")(
+            int(self.dim * self.mlp_ratio))
+        B, H, W, C = x.shape
+        if sd_on:
+            from ..kernels.swin_mlp import mlp_branch
+            o = mlp_branch(x.reshape(-1, C).astype(self.dtype),
+                           s, b, w1, b1, w2, b2).reshape(B, H, W, C)
+            return x + self._stochastic_depth(o)
+        y = _SWIN_MLP_IMPL(x.reshape(-1, C).astype(self.dtype),
+                           s, b, w1, b1, w2, b2)
+        return y.reshape(B, H, W, C)
 
 
 class PatchMerging(nn.Module):
@@ -174,6 +215,10 @@ class SwinTransformer(nn.Module):
     window: int = 7
     patch_size: int = 4
     dtype: jnp.dtype = jnp.float32
+    # torchvision swin_t trains with stochastic_depth_prob=0.2 scaled
+    # linearly over blocks (src/swin_transformer.py:577,835-841); only the
+    # unfrozen-trunk training path activates it (deterministic=False)
+    stochastic_depth_prob: float = 0.2
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -185,12 +230,18 @@ class SwinTransformer(nn.Module):
                     dtype=self.dtype, name="patch_embed")(x.astype(self.dtype))
         x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
         dim = self.embed_dim
+        total_blocks = sum(self.depths)
+        block_id = 0
         for si, depth in enumerate(self.depths):
             for bi in range(depth):
                 shift = 0 if bi % 2 == 0 else self.window // 2
+                sd = (self.stochastic_depth_prob * block_id
+                      / max(total_blocks - 1, 1))
                 x = SwinBlock(dim, self.num_heads[si], self.window, shift,
-                              dtype=self.dtype, name=f"stage{si}_block{bi}")(
+                              dtype=self.dtype, sd_prob=sd,
+                              name=f"stage{si}_block{bi}")(
                                   x, deterministic)
+                block_id += 1
             if si < len(self.depths) - 1:
                 x = PatchMerging(dim, dtype=self.dtype, name=f"merge{si}")(x)
                 dim *= 2

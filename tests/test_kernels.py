@@ -141,6 +141,39 @@ def test_no_mask_matches_xla():
 
 
 def test_block_sizes_adaptive():
-    assert _block_sizes(1005, 1005) == (256, 1024)
+    # block_k doubles as the per-sample dynamic skip granularity: 512 on
+    # long streams (TIE-1000 -> 2 skippable blocks; measured fastest), one
+    # block when short
+    assert _block_sizes(1005, 1005) == (256, 512)
     assert _block_sizes(54, 54) == (128, 128)
     assert _block_sizes(130, 130) == (256, 256)
+
+
+def test_dynamic_kblock_skip_exact():
+    """Long stream + very short per-sample lengths exercises the scalar-
+    prefetched k-block bound (most blocks skipped); an all-masked sample
+    rides along to hit the full-count fallback. Forward AND grads must
+    equal the XLA path exactly (skipping is only applied where masked
+    contributions underflow to zero)."""
+    B, H, L, D = 4, 2, 1005, 64
+    q, k, v = _mk(B, H, L, D, seed=11)
+    lengths = np.array([3, 140, 900, 0], np.int32)   # 0 = all masked
+    key_mask = jnp.arange(L)[None, :] >= jnp.asarray(lengths)[:, None]
+    ref = masked_softmax_attention(q, k, v, key_mask, 8.0)
+    out = pallas_masked_attention(q, k, v, key_mask, 8.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def lp(q, k, v):
+        o = pallas_masked_attention(q, k, v, key_mask, 8.0)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def lx(q, k, v):
+        o = masked_softmax_attention(q, k, v, key_mask, 8.0)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    gp = jax.grad(lp, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lx, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)

@@ -77,3 +77,52 @@ def test_swin_forward_same_under_both_impls():
     b = m.apply(params, img)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_stochastic_depth_training_path():
+    """Unfrozen-trunk training: nonzero drop rate changes the forward
+    between rng draws and vanishes at eval (torchvision swin_t trains with
+    stochastic_depth_prob=0.2, swin_transformer.py:835-841)."""
+    m = SwinTransformer(in_channels=1, depths=(2,), num_heads=(3,),
+                        stochastic_depth_prob=0.5)
+    img = jnp.asarray(np.random.default_rng(3).random((4, 1, 28, 28)),
+                      jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), img)
+    ev = m.apply(params, img, True)
+    tr1 = m.apply(params, img, False,
+                  rngs={"dropout": jax.random.PRNGKey(1)})
+    tr2 = m.apply(params, img, False,
+                  rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
+    assert not np.allclose(np.asarray(tr1), np.asarray(ev))
+    # block 0 has sd_prob 0 (linear ramp) — eval equals itself trivially;
+    # deterministic path must be unchanged by the field
+    np.testing.assert_allclose(
+        np.asarray(ev),
+        np.asarray(m.apply(params, img, True)), rtol=0, atol=0)
+
+
+def test_frozen_trunk_train_step_ignores_stochastic_depth():
+    """The flagship freezes the swin trunk (reference .eval() +
+    torch.no_grad): training flow must produce identical image features
+    regardless of the dropout rng."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from medical_tri_modal_pilot_tpu.config import parse_config
+    from medical_tri_modal_pilot_tpu.models.models import ImageEncoder
+
+    cfg = parse_config([
+        "--input-types", "vslt_img_txt", "--output-type", "intubation",
+        "--modality-inclusion", "train-missing_test-missing",
+        "--model", "tri_mbt_vsltcls", "--batch-size", "2",
+        "--img-model-type", "swin", "--img-pretrain", "Yes",
+        "--image-size", "224",
+    ])
+    enc = ImageEncoder(cfg)
+    img = jnp.asarray(np.random.default_rng(5).random((1, 1, 224, 224)),
+                      jnp.float32)
+    params = enc.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)}, img, False)
+    a = enc.apply(params, img, False, rngs={"dropout": jax.random.PRNGKey(2)})
+    b = enc.apply(params, img, False, rngs={"dropout": jax.random.PRNGKey(3)})
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
