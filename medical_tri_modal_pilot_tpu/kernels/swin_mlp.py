@@ -30,6 +30,23 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 polynomial erf (|err| < 1.5e-7) — Mosaic
+    has no erf/erfc lowering; well inside the swin torch-parity tolerance."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
 def _branch(x, scale, bias, w1, b1, w2, b2, dtype):
     """fc2(gelu(fc1(LN(x)))) in f32, no residual — the stochastic-depth
     training path scales this before adding it back."""
@@ -43,7 +60,7 @@ def _branch(x, scale, bias, w1, b1, w2, b2, dtype):
     h = jax.lax.dot_general(h, w1.astype(dtype), (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     h = h + b1.astype(jnp.float32)[None, :]
-    h = jax.nn.gelu(h, approximate=False).astype(dtype)
+    h = _gelu_exact(h).astype(dtype)
     o = jax.lax.dot_general(h, w2.astype(dtype), (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o = o + b2.astype(jnp.float32)[None, :]

@@ -172,7 +172,11 @@ class TransformerDecoder(nn.Module):
                 self.d_model, self.num_heads, self.d_ff, self.dropout_p,
                 self.dtype, name=f"layers_{i}")(h, memory, self_mask,
                                                 memory_key_mask, deterministic)
-        return nn.Dense(self.vocab_size, dtype=self.dtype, name="vocab_proj")(h)
+        # reference head: custom-std LayerNorm -> bias-free Linear
+        # (reports_transformer_decoder.py:132-135)
+        h = StdLayerNorm(self.d_model, dtype=self.dtype, name="fc_norm")(h)
+        return nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype,
+                        name="vocab_proj")(h)
 
 
 # ---------------------------------------------------------------------------

@@ -128,3 +128,70 @@ def test_fully_masked_row_is_uniform_average():
         out = masked_softmax_attention(q, k, v, mask, math.sqrt(D))
     np.testing.assert_allclose(np.asarray(out[0, 0, 0]),
                                np.asarray(v[0, 0].mean(0)), atol=1e-5)
+
+
+def test_reports_decoder_matches_reference(ref):
+    """Numerical parity of the CXR-reports transformer decoder vs the
+    reference src/reports_transformer_decoder.py (weight-copied, CPU fp32).
+    The reference forward drops the last target token internally
+    (:151); ours takes the already-shifted tokens."""
+    from builder.models.src.reports_transformer_decoder import (
+        TransformerDecoder as RefDecoder)
+    from medical_tri_modal_pilot_tpu.models.extras import TransformerDecoder
+
+    torch.manual_seed(3)
+    V, D, H, FF, NL, B, L, LM = 50, 64, 4, 128, 2, 3, 9, 11
+    ref_dec = RefDecoder(num_classes=V, d_model=D, d_ff=FF, num_layers=NL,
+                         num_heads=H, dropout_p=0.0, pad_id=0).eval()
+
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(1, V, (B, L)).astype(np.int64)
+    tokens[0, -3:] = 0                         # pad tail on one sample
+    memory = rng.normal(size=(B, LM, D)).astype(np.float32)
+    mem_lengths = np.array([LM, 5, 8], np.int64)
+
+    with torch.no_grad():
+        expected = t2n(ref_dec(torch.tensor(tokens),
+                               torch.tensor(memory),
+                               torch.tensor(mem_lengths)))
+
+    ours = TransformerDecoder(vocab_size=V, d_model=D, num_heads=H, d_ff=FF,
+                              n_layers=NL, pad_id=0, dropout_p=0.0)
+    shifted = jnp.asarray(tokens[:, :-1])      # reference drops last token
+    mem_mask = jnp.arange(LM)[None, :] >= jnp.asarray(mem_lengths)[:, None]
+    params = ours.init(jax.random.PRNGKey(0), shifted, jnp.asarray(memory),
+                       mem_mask)
+
+    p = jax.tree.map(lambda v: v, dict(params["params"]))
+    p["embedding"] = {"embedding":
+                      jnp.asarray(t2n(ref_dec.embedding.embedding.weight))}
+    for i, rl in enumerate(ref_dec.layers):
+        lp = dict(p[f"layers_{i}"])
+        for ours_n, ref_ln in [("self_prenorm", rl.self_attention_prenorm),
+                               ("cross_prenorm", rl.encoder_attention_prenorm),
+                               ("ff_prenorm", rl.feed_forward_prenorm)]:
+            lp[ours_n] = {"gamma": jnp.asarray(t2n(ref_ln.gamma)),
+                          "beta": jnp.asarray(t2n(ref_ln.beta))}
+        for ours_n, ref_mha in [("self_attention", rl.self_attention),
+                                ("cross_attention", rl.encoder_attention)]:
+            sa = dict(lp[ours_n])
+            for name, lin in [("query_proj", ref_mha.query_proj),
+                              ("key_proj", ref_mha.key_proj),
+                              ("value_proj", ref_mha.value_proj)]:
+                sa[name] = {"kernel": jnp.asarray(t2n(lin.linear.weight).T),
+                            "bias": jnp.asarray(t2n(lin.linear.bias))}
+            lp[ours_n] = sa
+        ff = dict(lp["feed_forward"])
+        ff["w_1"] = {"kernel": jnp.asarray(t2n(rl.feed_forward.w_1.weight)[:, :, 0].T),
+                     "bias": jnp.asarray(t2n(rl.feed_forward.w_1.bias))}
+        ff["w_2"] = {"kernel": jnp.asarray(t2n(rl.feed_forward.w_2.weight)[:, :, 0].T),
+                     "bias": jnp.asarray(t2n(rl.feed_forward.w_2.bias))}
+        lp["feed_forward"] = ff
+        p[f"layers_{i}"] = lp
+    p["fc_norm"] = {"gamma": jnp.asarray(t2n(ref_dec.fc[0].gamma)),
+                    "beta": jnp.asarray(t2n(ref_dec.fc[0].beta))}
+    p["vocab_proj"] = {"kernel": jnp.asarray(t2n(ref_dec.fc[1].linear.weight).T)}
+
+    out = ours.apply({"params": p}, shifted, jnp.asarray(memory), mem_mask)
+    np.testing.assert_allclose(np.asarray(out), expected,
+                               atol=2e-4, rtol=2e-4)
