@@ -48,6 +48,12 @@ class TransformerEncoder(nn.Module):
                 axis=1)
         key_mask = None
         if self.mask and input_lengths is not None:
+            if x.shape[1] > 512:
+                # align long streams to the flash kernel's q tile so the
+                # per-layer pads/slices inside the kernel wrapper are no-ops
+                # (padded rows are masked below; callers read cls/row 0)
+                tgt = -(-x.shape[1] // 256) * 256
+                x = jnp.pad(x, ((0, 0), (0, tgt - x.shape[1]), (0, 0)))
             key_mask = length_key_mask(input_lengths, x.shape[1])
         if self.d_input != self.d_model:
             x = nn.Dense(self.d_model, dtype=self.dtype, name="linear_in")(x)

@@ -97,6 +97,17 @@ class MBTFusion(nn.Module):
             x = jnp.concatenate(
                 [jnp.broadcast_to(cls_tokens[m], (B, 1, D)).astype(self.dtype),
                  enc_inputs[m].astype(self.dtype)], axis=1)
+            # Pre-pad long streams so [bottlenecks | cls | tokens] lands on
+            # the flash kernel's q-tile (256): the per-layer q/k/v pads and
+            # output slices inside the kernel wrapper then become no-ops —
+            # they showed up as ~15 ms/step of pure copies in the profile.
+            # Padded rows are masked via the length masks below (never fully
+            # masked rows here: vslt is always present, vlen >= 1+min_len).
+            if self.mask[m] and x.shape[1] + self.bottlenecks_n > 512:
+                tgt = -(-(x.shape[1] + self.bottlenecks_n) // 256) * 256
+                x = jnp.pad(x, ((0, 0),
+                                (0, tgt - self.bottlenecks_n - x.shape[1]),
+                                (0, 0)))
             L = x.shape[1]
             vlen = varying_lengths[m] + 1
             if m == self.txt_idx:

@@ -89,3 +89,39 @@ def test_image_leaks_by_design_when_unmasked(fusion_setup):
                                          inputs[1].shape)
     out2 = fusion.apply(params, [inputs[0], img2, inputs[2]], varying, mn)[0]
     assert float(jnp.abs(out1 - out2).max()) > 1e-6
+
+
+def test_long_stream_prepad_is_mask_correct():
+    """MBTFusion pre-pads long streams to the flash kernel tile (mbt.py);
+    cls outputs must be invariant to junk rows beyond the varying lengths
+    (both shapes round to the same padded total)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from medical_tri_modal_pilot_tpu.models.mbt import MBTFusion
+
+    rng = np.random.default_rng(0)
+    B, D = 2, 32
+    fusion = MBTFusion(n_modality=3, bottlenecks_n=4, d_model=D, n_head=2,
+                       d_ff=64, n_layers=2, dropout=0.0)
+    vlen = jnp.asarray([530, 601], jnp.int32)
+    base = rng.normal(size=(B, 700, D)).astype(np.float32)
+    img = rng.normal(size=(B, 7, D)).astype(np.float32)
+    txt = rng.normal(size=(B, 9, D)).astype(np.float32)
+    lens = [vlen, jnp.asarray([7, 7]), jnp.asarray([9, 5])]
+    mnum = jnp.asarray([0, 1], jnp.int32)
+
+    def run(tokens):
+        params = fusion.init(jax.random.PRNGKey(0),
+                             [jnp.asarray(tokens), jnp.asarray(img),
+                              jnp.asarray(txt)], lens, mnum, True)
+        outs = fusion.apply(params, [jnp.asarray(tokens), jnp.asarray(img),
+                                     jnp.asarray(txt)], lens, mnum, True)
+        return [np.asarray(o[:, 0]) for o in outs]
+
+    a = run(base[:, :620])          # 620+1+4 = 625 -> padded to 768
+    scrambled = base.copy()
+    scrambled[:, 610:] = 99.0       # junk beyond every length
+    b = run(scrambled[:, :700])     # 700+1+4 = 705 -> padded to 768
+    for u, w in zip(a, b):
+        np.testing.assert_allclose(u, w, atol=2e-5, rtol=2e-5)
