@@ -207,6 +207,11 @@ def build_parser() -> argparse.ArgumentParser:
                              'torch.autograd.set_detect_anomaly (2_train.py:31)')
     parser.add_argument('--dp-size', type=int, default=0,
                         help='data-parallel mesh size; 0 = all local devices')
+    parser.add_argument('--mp-size', type=int, default=0,
+                        help='tensor (model) parallel mesh size; >1 builds a '
+                             '2-D (data, model) mesh and shards the '
+                             'transformer FFN/attention matmuls over it '
+                             '(parallel/mesh.py)')
     parser.add_argument('--ckpt-backend', type=str, default='pickle',
                         choices=['pickle', 'orbax'],
                         help='checkpoint serialization: single-file pickle '
@@ -337,6 +342,7 @@ class Config:
     worker_type: str
     debug_nans: int
     dp_size: int
+    mp_size: int
     ckpt_backend: str
     checkpoint_every: int
     profile_dir: Optional[str]

@@ -1,12 +1,30 @@
 """Device-mesh + sharding helpers (the distributed layer the reference never
 had — SURVEY.md §2.7: the reference is single-GPU; the TPU-native
-equivalent is batch-sharded pjit over ICI).
+equivalent is sharded pjit over ICI).
 
-Design: a 1-D ``data`` mesh axis for data parallelism today, declared via
-``jax.sharding`` so model axes (tensor/sequence) can be added later without
-touching the step functions — XLA inserts the gradient psum and any
-resharding collectives over ICI automatically when the jitted step runs on
-a sharded batch with replicated params.
+Design: a ``data`` mesh axis for data parallelism, plus an optional
+``model`` axis (``--mp-size``) for Megatron-style tensor parallelism of the
+transformer stacks. Everything is expressed as ``jax.sharding`` annotations
+on the param / optimizer pytrees; the step functions are untouched — XLA's
+SPMD partitioner partitions the matmuls and inserts the collectives
+(gradient psum over ``data``, activation all-reduce/all-gather over
+``model``) over ICI automatically.
+
+Tensor-parallel layout (classic FFN/heads split):
+  * ``feed_forward/w_1``  kernel [d_model, d_ff]   -> P(None, 'model')
+  * ``feed_forward/w_2``  kernel [d_ff, d_model]   -> P('model', None)
+  * ``{query,key,value}_proj`` kernel [d, d]       -> P(None, 'model')
+    (head split: the per-head attention computes fully locally, the
+    residual add gathers)
+  * everything else (norms, embeddings, heads, frozen Swin trunk)
+    replicated — they are tiny next to the FFN/attention matmuls.
+A dim is only split when it divides evenly; otherwise the leaf stays
+replicated (correct, just not distributed).
+
+Note: with ``--use-pallas 1`` the fused attention kernel is a custom call
+XLA cannot partition over ``model`` — SPMD all-gathers its operands, so
+tensor parallelism pays off on the XLA path (and on the FFN matmuls
+everywhere). Data parallelism composes with either path.
 
 Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
 feed per-host batch shards via ``jax.make_array_from_process_local_data``
@@ -21,6 +39,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def auto_dp_size(batch_size: int, n_devices: int) -> int:
@@ -31,10 +50,29 @@ def auto_dp_size(batch_size: int, n_devices: int) -> int:
     return 1
 
 
-def make_mesh(dp_size: int = 0, batch_size: Optional[int] = None) -> Mesh:
-    """1-D data-parallel mesh over the first dp_size devices (0 = auto:
-    the largest batch-divisible device count)."""
+def make_mesh(dp_size: int = 0, batch_size: Optional[int] = None,
+              mp_size: int = 0) -> Mesh:
+    """Data-parallel mesh over the first dp_size devices (0 = auto: the
+    largest batch-divisible device count). With mp_size > 1, a 2-D
+    ('data', 'model') mesh: adjacent devices share a model group so the
+    model all-reduces ride the shortest ICI hops."""
     devices = jax.devices()
+    mp = max(mp_size, 1)
+    if mp > 1:
+        avail = len(devices) // mp
+        if avail < 1:
+            raise ValueError(
+                f"mp_size={mp} needs at least {mp} devices, have "
+                f"{len(devices)}")
+        if dp_size > 0:
+            dp = dp_size
+        elif batch_size is not None:
+            dp = auto_dp_size(batch_size, avail)
+        else:
+            dp = avail
+        return Mesh(
+            np.asarray(devices[:dp * mp]).reshape(dp, mp),
+            (DATA_AXIS, MODEL_AXIS))
     if dp_size > 0:
         n = dp_size
     elif batch_size is not None:
@@ -52,8 +90,63 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _tp_spec(path: str, shape, mp: int) -> P:
+    """Tensor-parallel PartitionSpec for one param/opt leaf, by name+shape.
+
+    ``path`` is the '/'-joined key path; optimizer-state leaves carry the
+    same trailing components (``...mu/fusion/layers_0/feed_forward/w_1/
+    kernel``), so one rule covers params, mu and nu alike."""
+    if len(shape) == 0:
+        return P()
+
+    def ok(dim):
+        return shape[dim] % mp == 0
+
+    if path.endswith("feed_forward/w_1/kernel") and len(shape) == 2 and ok(1):
+        return P(None, MODEL_AXIS)
+    if path.endswith("feed_forward/w_1/bias") and ok(0):
+        return P(MODEL_AXIS)
+    if path.endswith("feed_forward/w_2/kernel") and len(shape) == 2 and ok(0):
+        return P(MODEL_AXIS, None)
+    for proj in ("query_proj", "key_proj", "value_proj"):
+        if path.endswith(f"{proj}/kernel") and len(shape) == 2 and ok(1):
+            return P(None, MODEL_AXIS)
+        if path.endswith(f"{proj}/bias") and ok(0):
+            return P(MODEL_AXIS)
+    return P()
+
+
+def _path_str(key_path) -> str:
+    parts = []
+    for k in key_path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "name"):
+            parts.append(str(k.name))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def tree_shardings(mesh: Mesh, tree):
+    """NamedSharding pytree for params or optimizer state: tensor-parallel
+    specs on the transformer matmuls when the mesh has a 'model' axis,
+    replicated otherwise."""
+    if MODEL_AXIS not in mesh.axis_names or mesh.shape[MODEL_AXIS] == 1:
+        rep = replicated_sharding(mesh)
+        return jax.tree.map(lambda _: rep, tree)
+    mp = mesh.shape[MODEL_AXIS]
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, leaf: NamedSharding(
+            mesh, _tp_spec(_path_str(kp), getattr(leaf, "shape", ()), mp)),
+        tree)
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
-    """Ship a host batch to the mesh, sharded on the leading (batch) dim.
+    """Ship a host batch to the mesh, sharded on the leading (batch) dim
+    (replicated over 'model' when present).
 
     Single-process: device_put with a NamedSharding. Multi-process: each
     process contributes its local shard of the global batch.

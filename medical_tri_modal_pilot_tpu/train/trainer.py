@@ -27,7 +27,7 @@ from flax.core import FrozenDict
 
 from ..config import Config
 from ..parallel.mesh import (batch_sharding, make_mesh, replicated_sharding,
-                             shard_batch)
+                             shard_batch, tree_shardings)
 from .schedule import cosine_annealing_warmup_restarts, cosine_warmup_single
 
 
@@ -235,7 +235,8 @@ class Trainer:
         self.cfg = cfg
         self.model = model
         self.eval_only = eval_only
-        self.mesh = make_mesh(cfg.dp_size, cfg.batch_size)
+        self.mesh = make_mesh(cfg.dp_size, cfg.batch_size,
+                              getattr(cfg, "mp_size", 0))
         self.schedule = build_schedule(cfg, max(iters_per_epoch, 1))
         from ..models.registry import frozen_img_trunk
         self.tx = None if eval_only else build_optimizer(
@@ -253,11 +254,19 @@ class Trainer:
         if cfg.img_pretrain_path:
             params = graft_pretrained_encoder(params, cfg.img_pretrain_path)
         batch_stats = variables.get("batch_stats", FrozenDict())
+        # params/opt live replicated on a 1-D mesh; with --mp-size > 1 the
+        # transformer matmuls are tensor-sharded over the 'model' axis
+        # (tree_shardings applies the same name+shape rule to params, mu
+        # and nu — parallel/mesh.py) and XLA partitions the step.
         rep = replicated_sharding(self.mesh)
-        params = jax.device_put(params, rep)
+        params = jax.device_put(params, tree_shardings(self.mesh, params))
         batch_stats = jax.device_put(batch_stats, rep)
         opt_state = (optax.EmptyState() if eval_only
-                     else jax.device_put(self.tx.init(params), rep))
+                     else jax.device_put(
+                         self.tx.init(params),
+                         tree_shardings(self.mesh,
+                                        jax.eval_shape(self.tx.init,
+                                                       params))))
         self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                 batch_stats=batch_stats, opt_state=opt_state)
 

@@ -65,3 +65,42 @@ def test_dryrun_multichip_8_devices():
     assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
+
+
+def test_tensor_parallel_sharded_step_matches_dp():
+    """--mp-size 2 builds a ('data','model') mesh, tensor-shards the
+    transformer FFN/attention matmuls (parallel/mesh.py layout) and the
+    matching optimizer moments, and produces the same loss as pure DP."""
+    import jax
+    import jax.tree_util as jtu
+    from __graft_entry__ import _synthetic_batch, _tiny_cfg
+    from medical_tri_modal_pilot_tpu.models import get_model
+    from medical_tri_modal_pilot_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(16)
+    model = get_model(cfg)
+    batch = _synthetic_batch(cfg, 16)
+
+    dp = Trainer(cfg.replace(dp_size=8), model, 10, batch)
+    tp = Trainer(cfg.replace(dp_size=4, mp_size=2), model, 10, batch)
+    assert dict(tp.mesh.shape) == {"data": 4, "model": 2}
+
+    def sharded_leaves(tree):
+        return {jtu.keystr(kp) for kp, leaf in jtu.tree_leaves_with_path(tree)
+                if any(s is not None for s in leaf.sharding.spec)}
+
+    p_sharded = sharded_leaves(tp.state.params)
+    assert any("feed_forward']['w_1']['kernel" in k for k in p_sharded)
+    assert any("query_proj']['kernel" in k for k in p_sharded)
+    # optimizer moments follow the same layout (mu/nu carry the param path)
+    o_sharded = sharded_leaves(tp.state.opt_state)
+    assert any("w_1" in k for k in o_sharded)
+
+    loss_dp = float(dp.train_step(batch))
+    loss_tp = float(tp.train_step(batch))
+    assert abs(loss_dp - loss_tp) < 1e-4
+    probs_dp, _ = dp.eval_step(batch)
+    probs_tp, _ = tp.eval_step(batch)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(probs_dp), np.asarray(probs_tp),
+                               atol=1e-4)
