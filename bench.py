@@ -57,6 +57,59 @@ def _calibrate_matmul_tflops() -> float:
     return 10 * 2 * n ** 3 / best / 1e12
 
 
+def _bench_host_pipeline(batch: int) -> dict:
+    """Throughput of the real host input pipeline (pkl decode -> window
+    slice -> C++ TIE assembly -> image/text fetch -> batch stack) over
+    synthetic fixtures with the reference schema — the number the
+    device-resident measurement deliberately excludes. Returns {} on any
+    failure so the device benchmark always reports."""
+    import subprocess
+    import sys
+    try:
+        root = os.path.dirname(os.path.abspath(__file__))
+        fix = "/tmp/graft_bench_synth_v1"
+        if not os.path.isdir(os.path.join(fix, "train")):
+            subprocess.run(
+                [sys.executable,
+                 os.path.join(root, "tools/make_synthetic_fixtures.py"),
+                 "--out", fix, "--n-train", "96", "--n-test", "8",
+                 "--seed", "5"],
+                check=True, capture_output=True, timeout=300)
+        from medical_tri_modal_pilot_tpu.config import parse_config
+        from medical_tri_modal_pilot_tpu.data.pipeline import get_data_loaders
+        cfg = parse_config([
+            "--train-data-path", os.path.join(fix, "train"),
+            "--test-data-path", os.path.join(fix, "test"),
+            "--image-data-path", os.path.join(fix, "images/"),
+            "--biobert-path", os.path.join(fix, "mimic4_embeddings.h5"),
+            "--input-types", "vslt_img_txt", "--output-type", "intubation",
+            "--modality-inclusion", "train-missing_test-missing",
+            "--model", "tri_mbt_vsltcls", "--batch-size", str(batch),
+            "--TIE-len", "1000", "--num-workers", "4",
+        ])
+        train_loader, _, _ = get_data_loaders(cfg)
+        n_batches = max(len(train_loader), 1)
+        for _ in iter(train_loader):   # warm caches (pkl decode, images)
+            pass
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            seen = 0
+            for b in iter(train_loader):
+                seen += len(b["target"])
+            best = min(best, (time.perf_counter() - t0) / max(seen, 1))
+        host_sps = 1.0 / best
+        return {"host_pipeline_samples_per_sec": round(host_sps, 1),
+                "host_pipeline_note": (
+                    f"real loader over {n_batches} synthetic-fixture "
+                    "batches (pkl+jpeg+h5, C++ TIE assembler, 4 thread "
+                    "workers); training overlaps this with device compute "
+                    "via device_prefetch, so e2e throughput ~= "
+                    "min(host, device)")}
+    except Exception as e:   # pragma: no cover - best-effort diagnostics
+        return {"host_pipeline_error": f"{type(e).__name__}: {e}"}
+
+
 def main() -> None:
     import jax
     from medical_tri_modal_pilot_tpu import ops
@@ -150,6 +203,7 @@ def main() -> None:
         "calibrated_matmul_tflops": round(calibrated_tflops, 1),
         "mfu_vs_calibrated": round(mfu, 3) if mfu is not None else None,
         "device_kind": jax.devices()[0].device_kind,
+        **_bench_host_pipeline(BATCH),
     }))
 
 

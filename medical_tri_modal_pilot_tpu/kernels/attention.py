@@ -67,62 +67,82 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kblock_counts(mask: jnp.ndarray, lk: int, n_kblocks: int,
-                   block_k: int) -> jnp.ndarray:
-    """Per-sample number of k blocks that contain any valid key.
-    mask: [B, Lq_m, Lk] int8 (1 = masked). All-masked samples use the full
-    count (reference uniform-softmax behavior must see every real key)."""
+def _last_valid(mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample index of the last unmasked key (-1 if all masked).
+    mask: [B, Lq_m, Lk] int8 (1 = masked)."""
     valid = (mask == 0).any(axis=1)                      # [B, Lk]
     idx = jnp.arange(mask.shape[-1], dtype=jnp.int32)
-    last = jnp.max(jnp.where(valid, idx, -1), axis=1)    # [B]
-    return jnp.where(last < 0, n_kblocks,
-                     last // block_k + 1).astype(jnp.int32)
+    return jnp.max(jnp.where(valid, idx, -1), axis=1)    # [B]
+
+
+def _block_counts(last: jnp.ndarray, n_blocks: int, block: int) -> jnp.ndarray:
+    """Blocks covering keys/queries [0, last]; all-masked samples use the
+    full count (reference uniform-softmax behavior must see every real
+    key)."""
+    return jnp.where(last < 0, n_blocks, last // block + 1).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(kc_ref, q_ref, k_ref, v_ref, m_ref, o_ref, st_ref, *,
+def _fwd_kernel(kc_ref, qc_ref, q_ref, k_ref, v_ref, m_ref, o_ref, st_ref, *,
                 scale: float, l_real: int, n_kblocks: int, block_k: int,
                 n_heads: int, combined_mask: bool):
     bh = pl.program_id(0)
+    qi = pl.program_id(1)
     kcount = kc_ref[bh // n_heads]
-    q = q_ref[0]                                       # [BLOCK_Q, D]
-    acc = jnp.zeros((q.shape[0], q_ref.shape[-1]), jnp.float32)
-    m_i = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
-    l_i = jnp.zeros((q.shape[0], 1), jnp.float32)
+    qcount = qc_ref[bh // n_heads]
 
-    def body(kb, carry):
-        acc, m_i, l_i = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [BQ, BK]
-        mblk = m_ref[0, :, pl.ds(kb * block_k, block_k)]  # [1|BQ, BK]
-        if combined_mask:
-            # f32: 0 = live, MASK_FILL_VALUE = masked, PAD_NEG = padding
-            s = jnp.where(mblk != 0.0, mblk.astype(jnp.float32), s)
-        else:
-            s = jnp.where(mblk != 0, MASK_FILL_VALUE, s)
-            j = kb * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, s.shape, dimension=1)
-            s = jnp.where(j >= l_real, PAD_NEG, s)
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_i - m_new)
-        l_new = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
+    # q blocks past the per-sample valid length are semantically dead in
+    # self-attention (their rows are masked as keys everywhere and no head
+    # reads them) — emit zeros and skip the k loop entirely. qcount is the
+    # full block count unless the caller declared self-attention.
+    @pl.when(qi >= qcount)
+    def _dead_block():
+        n = o_ref.shape[1]
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+        st_ref[0] = jnp.concatenate(      # m=0, l=1: bwd-safe (never read)
+            [jnp.zeros((n, 1), jnp.float32), jnp.ones((n, 1), jnp.float32),
+             jnp.zeros((n, STATS_LANES - 2), jnp.float32)], axis=1)
 
-    acc, m_i, l_i = jax.lax.fori_loop(0, kcount, body, (acc, m_i, l_i))
-    l_safe = jnp.maximum(l_i, 1e-30)
-    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    pad = jnp.zeros((q.shape[0], STATS_LANES - 2), jnp.float32)
-    st_ref[0] = jnp.concatenate([m_i, l_safe, pad], axis=1)
+    @pl.when(qi < qcount)
+    def _live_block():
+        q = q_ref[0]                                       # [BLOCK_Q, D]
+        acc = jnp.zeros((q.shape[0], q_ref.shape[-1]), jnp.float32)
+        m_i = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
+        l_i = jnp.zeros((q.shape[0], 1), jnp.float32)
+
+        def body(kb, carry):
+            acc, m_i, l_i = carry
+            k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+            v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+            mblk = m_ref[0, :, pl.ds(kb * block_k, block_k)]  # [1|BQ, BK]
+            if combined_mask:
+                # f32: 0 = live, MASK_FILL_VALUE = masked, PAD_NEG = padding
+                s = jnp.where(mblk != 0.0, mblk.astype(jnp.float32), s)
+            else:
+                s = jnp.where(mblk != 0, MASK_FILL_VALUE, s)
+                j = kb * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, dimension=1)
+                s = jnp.where(j >= l_real, PAD_NEG, s)
+            m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_i - m_new)
+            l_new = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return acc, m_new, l_new
+
+        acc, m_i, l_i = jax.lax.fori_loop(0, kcount, body, (acc, m_i, l_i))
+        l_safe = jnp.maximum(l_i, 1e-30)
+        o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+        pad = jnp.zeros((q.shape[0], STATS_LANES - 2), jnp.float32)
+        st_ref[0] = jnp.concatenate([m_i, l_safe, pad], axis=1)
 
 
 def _pad_mask(mask, lq_pad: int, lk_pad: int):
@@ -145,13 +165,14 @@ def _combined_mask(mask, lk_pad: int):
                    constant_values=PAD_NEG)
 
 
-def _fwd(q, k, v, mask, scale):
+def _fwd(q, k, v, mask, scale, is_self: bool):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     block_q, block_k = _block_sizes(Lq, Lk)
     lq_pad = _round_up(Lq, block_q)
     lk_pad = _round_up(Lk, block_k)
     n_kblocks = lk_pad // block_k
+    n_qblocks = lq_pad // block_q
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
@@ -163,19 +184,27 @@ def _fwd(q, k, v, mask, scale):
     # masks a fully-masked row's uniform output depends on every real key
     if broadcast_q:
         mp = _combined_mask(mask, lk_pad)
-        kcounts = _kblock_counts(mask, Lk, n_kblocks, block_k)
+        last = _last_valid(mask)
+        kcounts = _block_counts(last, n_kblocks, block_k)
+        # in self-attention (Lq == Lk, same stream) queries past the last
+        # valid key are dead rows: masked as keys everywhere, read by no
+        # output — skip their q blocks entirely (outputs zeroed)
+        if is_self and Lq == Lk:
+            qcounts = _block_counts(last, n_qblocks, block_q)
+        else:
+            qcounts = jnp.full((B,), n_qblocks, jnp.int32)
     else:
         mp = _pad_mask(mask, lq_pad, lk_pad)
         kcounts = jnp.full((B,), n_kblocks, jnp.int32)
+        qcounts = jnp.full((B,), n_qblocks, jnp.int32)
 
-    n_qblocks = lq_pad // block_q
     grid = (B * H, n_qblocks)
     if broadcast_q:
         m_spec = pl.BlockSpec((1, 1, lk_pad),
-                              lambda bh, qi, kc: (bh // H, 0, 0))
+                              lambda bh, qi, kc, qc: (bh // H, 0, 0))
     else:
         m_spec = pl.BlockSpec((1, block_q, lk_pad),
-                              lambda bh, qi, kc: (bh // H, qi, 0))
+                              lambda bh, qi, kc, qc: (bh // H, qi, 0))
     kern = functools.partial(
         _fwd_kernel, scale=scale, l_real=Lk,
         n_kblocks=n_kblocks, block_k=block_k, n_heads=H,
@@ -183,18 +212,22 @@ def _fwd(q, k, v, mask, scale):
     out, stats = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, D), lambda bh, qi, kc: (bh, qi, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, qi, kc: (bh, 0, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, qi, kc: (bh, 0, 0)),
+                pl.BlockSpec((1, block_q, D),
+                             lambda bh, qi, kc, qc: (bh, qi, 0)),
+                pl.BlockSpec((1, lk_pad, D),
+                             lambda bh, qi, kc, qc: (bh, 0, 0)),
+                pl.BlockSpec((1, lk_pad, D),
+                             lambda bh, qi, kc, qc: (bh, 0, 0)),
                 m_spec,
             ],
             out_specs=[
-                pl.BlockSpec((1, block_q, D), lambda bh, qi, kc: (bh, qi, 0)),
+                pl.BlockSpec((1, block_q, D),
+                             lambda bh, qi, kc, qc: (bh, qi, 0)),
                 pl.BlockSpec((1, block_q, STATS_LANES),
-                             lambda bh, qi, kc: (bh, qi, 0)),
+                             lambda bh, qi, kc, qc: (bh, qi, 0)),
             ],
         ),
         out_shape=[
@@ -202,25 +235,28 @@ def _fwd(q, k, v, mask, scale):
             jax.ShapeDtypeStruct((B * H, lq_pad, STATS_LANES), jnp.float32),
         ],
         interpret=_interpret(),
-    )(kcounts, qp, kp, vp, mp)
-    return out.reshape(B, H, lq_pad, D)[:, :, :Lq, :], stats, kcounts
+    )(kcounts, qcounts, qp, kp, vp, mp)
+    return out.reshape(B, H, lq_pad, D)[:, :, :Lq, :], stats, kcounts, qcounts
 
 
 # ---------------------------------------------------------------------------
 # backward (blockwise, reusing the forward's row stats)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(kc_ref, q_ref, k_ref, v_ref, do_ref, o_ref, st_ref, m_ref,
-                dq_ref, dk_ref, dv_ref, dq_s, *, scale: float, l_real: int,
-                lq_real: int, n_qblocks: int, n_kblocks: int, block_q: int,
-                block_k: int, broadcast_q: bool, n_heads: int):
+def _bwd_kernel(kc_ref, qc_ref, q_ref, k_ref, v_ref, do_ref, o_ref, st_ref,
+                m_ref, dq_ref, dk_ref, dv_ref, dq_s, *, scale: float,
+                l_real: int, lq_real: int, n_qblocks: int, n_kblocks: int,
+                block_q: int, block_k: int, broadcast_q: bool, n_heads: int):
     # broadcast_q => m_ref is the combined f32 mask (0/MASK_FILL/PAD_NEG)
     """Grid over (B*H,). p recomputed per (q-block, k-block) from saved
     (m, l); dq/dk/dv accumulated in VMEM carries; the k loop stops at the
     per-sample block count (skipped k rows keep their zero init — their
-    true gradient is zero because every query masks them)."""
+    true gradient is zero because every query masks them), and the q loop
+    at the per-sample q-block count (dead self-attention rows have zero
+    output gradient flowing anywhere real)."""
     bh = pl.program_id(0)
     kcount = kc_ref[bh // n_heads]
+    qcount = qc_ref[bh // n_heads]
     D = q_ref.shape[-1]
 
     # refs double as accumulators (Mosaic supports dynamic ref indexing,
@@ -286,7 +322,7 @@ def _bwd_kernel(kc_ref, q_ref, k_ref, v_ref, do_ref, o_ref, st_ref, m_ref,
         dk_blk0 = jnp.zeros((block_k, D), jnp.float32)
         dv_blk0 = jnp.zeros((block_k, D), jnp.float32)
         dk_blk, dv_blk = jax.lax.fori_loop(
-            0, n_qblocks, qbody, (dk_blk0, dv_blk0))
+            0, qcount, qbody, (dk_blk0, dv_blk0))
         dk_ref[0, pl.ds(kb * block_k, block_k), :] = dk_blk.astype(
             dk_ref.dtype)
         dv_ref[0, pl.ds(kb * block_k, block_k), :] = dv_blk.astype(
@@ -298,7 +334,7 @@ def _bwd_kernel(kc_ref, q_ref, k_ref, v_ref, do_ref, o_ref, st_ref, m_ref,
 
 
 def _bwd(scale, res, g):
-    q, k, v, mask, o, stats, kcounts = res
+    q, k, v, mask, o, stats, kcounts, qcounts = res
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     block_q, block_k = _block_sizes(Lq, Lk)
@@ -322,22 +358,23 @@ def _bwd(scale, res, g):
     dq, dk, dv = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(B * H,),
             in_specs=[
-                pl.BlockSpec((1, lq_pad, D), lambda bh, kc: (bh, 0, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, kc: (bh, 0, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, kc: (bh, 0, 0)),
-                pl.BlockSpec((1, lq_pad, D), lambda bh, kc: (bh, 0, 0)),
-                pl.BlockSpec((1, lq_pad, D), lambda bh, kc: (bh, 0, 0)),
+                pl.BlockSpec((1, lq_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
+                pl.BlockSpec((1, lq_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
+                pl.BlockSpec((1, lq_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
                 pl.BlockSpec((1, lq_pad, STATS_LANES),
-                             lambda bh, kc: (bh, 0, 0)),
-                pl.BlockSpec((1, m_rows, lk_pad), lambda bh, kc: (bh // H, 0, 0)),
+                             lambda bh, kc, qc: (bh, 0, 0)),
+                pl.BlockSpec((1, m_rows, lk_pad),
+                             lambda bh, kc, qc: (bh // H, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, lq_pad, D), lambda bh, kc: (bh, 0, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, kc: (bh, 0, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, kc: (bh, 0, 0)),
+                pl.BlockSpec((1, lq_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
+                pl.BlockSpec((1, lk_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
             ],
             scratch_shapes=[pltpu.VMEM((lq_pad, D), jnp.float32)],
         ),
@@ -347,33 +384,43 @@ def _bwd(scale, res, g):
             jax.ShapeDtypeStruct((B * H, lk_pad, D), v.dtype),
         ],
         interpret=_interpret(),
-    )(kcounts, qp, kp, vp, dop, op, stats, mp)
+    )(kcounts, qcounts, qp, kp, vp, dop, op, stats, mp)
     dq = dq.reshape(B, H, lq_pad, D)[:, :, :Lq, :]
     dk = dk.reshape(B, H, lk_pad, D)[:, :, :Lk, :]
     dv = dv.reshape(B, H, lk_pad, D)[:, :, :Lk, :]
     return dq, dk, dv, None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash_attention(q, k, v, mask, scale):
-    out, _, _ = _fwd(q, k, v, mask, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_attention(q, k, v, mask, scale, is_self):
+    out, _, _, _ = _fwd(q, k, v, mask, scale, is_self)
     return out
 
 
-def _flash_fwd(q, k, v, mask, scale):
-    o, stats, kcounts = _fwd(q, k, v, mask, scale)
-    return o, (q, k, v, mask, o, stats, kcounts)
+def _flash_fwd(q, k, v, mask, scale, is_self):
+    o, stats, kcounts, qcounts = _fwd(q, k, v, mask, scale, is_self)
+    return o, (q, k, v, mask, o, stats, kcounts, qcounts)
 
 
-_flash_attention.defvjp(_flash_fwd, _bwd)
+def _flash_bwd(scale, is_self, res, g):
+    return _bwd(scale, res, g)
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 def pallas_masked_attention(q, k, v, key_mask: Optional[jnp.ndarray],
-                            scale: float) -> jnp.ndarray:
+                            scale: float, is_self: bool = False) -> jnp.ndarray:
     """Drop-in for modules.masked_softmax_attention. Accepts the same mask
     forms: None, a [B, Lk] key-pad mask (True = masked; NOT assumed
     tail-contiguous — early-fusion concatenations pad mid-sequence), or a
-    full [B, Lq, Lk] block mask (multitoken MBT variants)."""
+    full [B, Lq, Lk] block mask (multitoken MBT variants).
+
+    ``is_self`` (set by MultiHeadAttention when query/key/value are the
+    same stream) additionally skips q blocks past each sample's last valid
+    key — those rows are dead (masked as keys everywhere, read by nothing)
+    and their outputs are emitted as zeros instead of the XLA path's
+    unused weighted averages."""
     B = q.shape[0]
     Lk = k.shape[2]
     if key_mask is None:
@@ -382,4 +429,6 @@ def pallas_masked_attention(q, k, v, key_mask: Optional[jnp.ndarray],
         m = key_mask[:, None, :].astype(jnp.int8)
     else:
         m = key_mask.astype(jnp.int8)
-    return _flash_attention(q, k, v, m, 1.0 / scale)
+    return _flash_attention(q, k, v, m, 1.0 / scale,
+                            bool(is_self) and key_mask is not None
+                            and key_mask.ndim == 2)

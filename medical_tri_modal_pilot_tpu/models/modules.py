@@ -84,7 +84,8 @@ def length_key_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
 
 
 def masked_softmax_attention(q, k, v, key_mask: Optional[jnp.ndarray],
-                             scale: float) -> jnp.ndarray:
+                             scale: float,
+                             is_self: bool = False) -> jnp.ndarray:
     """[B, H, Lq, Dh] x [B, H, Lk, Dh] with an optional bool mask: either a
     key-pad mask [B, Lk] or a full [B, Lq, Lk] block mask (the multitoken
     MBT variants use hand-built block masks, mbt_encoder.py:381-423).
@@ -134,7 +135,10 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(B, Lq, self.num_heads, d_head).transpose(0, 2, 1, 3)
         k = k.reshape(B, Lk, self.num_heads, d_head).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, self.num_heads, d_head).transpose(0, 2, 1, 3)
-        ctx = _ATTENTION_IMPL(q, k, v, key_mask, math.sqrt(d_head))
+        # is_self: q/k/v from the same stream — lets the fused kernel skip
+        # dead q rows past each sample's valid length (kernels/attention.py)
+        ctx = _ATTENTION_IMPL(q, k, v, key_mask, math.sqrt(d_head),
+                              is_self=query is key)
         return ctx.transpose(0, 2, 1, 3).reshape(B, Lq, self.dim)
 
 

@@ -177,3 +177,57 @@ def test_dynamic_kblock_skip_exact():
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_self_attention_qblock_skip():
+    """is_self=True (MultiHeadAttention self-attention) skips q blocks past
+    each sample's last valid key: live rows match XLA exactly, dead rows
+    are emitted as zeros, and gradients through a live-row objective match
+    (dead rows carry structurally-zero cotangents in the models)."""
+    B, H, L, D = 3, 2, 1005, 64
+    q, k, v = _mk(B, H, L, D, seed=12)
+    lengths = np.array([200, 700, 1005], np.int32)
+    key_mask = jnp.arange(L)[None, :] >= jnp.asarray(lengths)[:, None]
+
+    ref = masked_softmax_attention(q, k, v, key_mask, 8.0)
+    out = pallas_masked_attention(q, k, v, key_mask, 8.0, is_self=True)
+    live = ~np.asarray(key_mask)
+    for b in range(B):
+        np.testing.assert_allclose(np.asarray(out)[b][:, live[b], :],
+                                   np.asarray(ref)[b][:, live[b], :],
+                                   rtol=2e-5, atol=2e-5)
+    # rows in fully-dead q blocks are zero (256-aligned block granularity)
+    blk = 256
+    for b in range(B):
+        dead_from = ((lengths[b] + blk - 1) // blk) * blk
+        if dead_from < L:
+            assert np.abs(np.asarray(out)[b][:, dead_from:, :]).max() == 0.0
+
+    w = jnp.asarray(live[:, None, :, None].astype(np.float32))
+
+    def lp(q, k, v):
+        o = pallas_masked_attention(q, k, v, key_mask, 8.0, is_self=True)
+        return ((o * w).astype(jnp.float32) ** 2).sum()
+
+    def lx(q, k, v):
+        o = masked_softmax_attention(q, k, v, key_mask, 8.0)
+        return ((o * w).astype(jnp.float32) ** 2).sum()
+
+    gp = jax.grad(lp, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lx, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_self_attention_all_masked_keeps_uniform():
+    """All-masked samples must keep full q coverage under is_self (the
+    reference's uniform-average semantics are read at the cls row)."""
+    B, H, L, D = 2, 2, 300, 32
+    q, k, v = _mk(B, H, L, D, seed=13)
+    key_mask = jnp.ones((B, L), bool)
+    out = pallas_masked_attention(q, k, v, key_mask, 8.0, is_self=True)
+    expect = jnp.mean(v, axis=2, keepdims=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.broadcast_to(np.asarray(expect), out.shape),
+                               rtol=2e-5, atol=2e-5)
