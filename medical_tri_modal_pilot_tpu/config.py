@@ -207,6 +207,11 @@ def build_parser() -> argparse.ArgumentParser:
                              'torch.autograd.set_detect_anomaly (2_train.py:31)')
     parser.add_argument('--dp-size', type=int, default=0,
                         help='data-parallel mesh size; 0 = all local devices')
+    parser.add_argument('--remat', type=int, default=0, choices=[0, 1],
+                        help='rematerialize encoder layers in the backward '
+                             '(jax.checkpoint): ~O(1) resident layer '
+                             'activations instead of O(n_layers), for '
+                             'larger batches / --train-multi-k super-batches')
     parser.add_argument('--mp-size', type=int, default=0,
                         help='tensor (model) parallel mesh size; >1 builds a '
                              '2-D (data, model) mesh and shards the '
@@ -343,6 +348,7 @@ class Config:
     debug_nans: int
     dp_size: int
     mp_size: int
+    remat: int
     ckpt_backend: str
     checkpoint_every: int
     profile_dir: Optional[str]

@@ -16,7 +16,7 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .modules import (StdLayerNorm, TransformerEncoderLayer, length_key_mask,
+from .modules import (StdLayerNorm, TransformerEncoderLayer, encoder_layer, length_key_mask,
                       positional_encoding)
 
 
@@ -62,7 +62,7 @@ class TransformerEncoder(nn.Module):
             h = h + positional_encoding(x.shape[1], self.d_model, self.dtype)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         for i in range(self.n_layers):
-            h = TransformerEncoderLayer(
+            h = encoder_layer(
                 self.d_model, self.n_head, self.d_ff, self.dropout,
                 self.dtype, name=f"layers_{i}")(h, key_mask, deterministic)
         return h
@@ -120,7 +120,7 @@ class MTFusion(nn.Module):
         for layer in range(self.n_layers):
             if layer < self.fusion_startidx:
                 for m in range(M):
-                    xs[m] = TransformerEncoderLayer(
+                    xs[m] = encoder_layer(
                         D, self.n_head, self.d_ff, self.dropout, self.dtype,
                         name=f"specific_{m}_{layer}")(xs[m], masks[m],
                                                       deterministic)
@@ -135,7 +135,7 @@ class MTFusion(nn.Module):
                         parts.append(length_key_mask(vlens[m], L)
                                      if self.mask[m] else jnp.zeros((B, L), bool))
                     joint_mask = jnp.concatenate(parts, axis=1)
-                joint = TransformerEncoderLayer(
+                joint = encoder_layer(
                     D, self.n_head, self.d_ff, self.dropout, self.dtype,
                     name=f"fusion_{layer}")(joint, joint_mask, deterministic)
         return joint if joint is not None else jnp.concatenate(xs, axis=1)

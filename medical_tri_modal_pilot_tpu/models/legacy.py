@@ -35,7 +35,7 @@ from .heads import ClsHead
 from .maxvit import MaxViT
 from .mbt import MBTFusion
 from .models import ModelOutput, model_dtype
-from .modules import (CrossmodalTransformerEncoderLayer, MLPStem,
+from .modules import (CrossmodalTransformerEncoderLayer, MLPStem, encoder_layer,
                       TransformerEncoderLayer, length_key_mask,
                       positional_encoding)
 from .resnet import ResNet
@@ -337,7 +337,7 @@ class EARLYFUSION(nn.Module):
         h = h + positional_encoding(h.shape[1], cfg.transformer_dim, dt)
         h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
         for i in range(cfg.transformer_num_layers):
-            h = TransformerEncoderLayer(
+            h = encoder_layer(
                 cfg.transformer_dim, cfg.transformer_num_head,
                 cfg.transformer_dim * 4, cfg.dropout, dt,
                 name=f"layers_{i}")(h, key_mask, deterministic)
@@ -447,20 +447,20 @@ class CROSS_TRANSFORMER(nn.Module):
         n_self = max(cfg.transformer_num_layers // 2, 1)
         n_cross = max(cfg.transformer_num_layers - n_self, 1)
         for i in range(n_self):
-            v = TransformerEncoderLayer(
+            v = encoder_layer(
                 cfg.transformer_dim, cfg.transformer_num_head,
                 cfg.transformer_dim * 4, cfg.dropout, dt,
                 name=f"self_v_{i}")(v, v_mask, deterministic)
-            o = TransformerEncoderLayer(
+            o = encoder_layer(
                 cfg.transformer_dim, cfg.transformer_num_head,
                 cfg.transformer_dim * 4, cfg.dropout, dt,
                 name=f"self_o_{i}")(o, o_mask, deterministic)
         for i in range(n_cross):
-            v_new = CrossmodalTransformerEncoderLayer(
+            v_new = Crossmodalencoder_layer(
                 cfg.transformer_dim, cfg.transformer_num_head,
                 cfg.transformer_dim * 4, cfg.dropout, dt,
                 name=f"cross_v_{i}")(v, o, o_mask, deterministic)
-            o = CrossmodalTransformerEncoderLayer(
+            o = Crossmodalencoder_layer(
                 cfg.transformer_dim, cfg.transformer_num_head,
                 cfg.transformer_dim * 4, cfg.dropout, dt,
                 name=f"cross_o_{i}")(o, v, v_mask, deterministic)
@@ -586,7 +586,7 @@ class AUXCPC(nn.Module):
         else:
             cls = self.param("cls_tokens", nn.initializers.zeros, (1, 1, D))
             ln_in = nn.LayerNorm(dtype=dt, name="layer_norm_in")
-            layers = [TransformerEncoderLayer(
+            layers = [encoder_layer(
                 D, cfg.transformer_num_head, D * 4, cfg.dropout, dt,
                 name=f"layers_{i}") for i in range(cfg.transformer_num_layers)]
 

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .modules import (StdLayerNorm, TransformerEncoderLayer, length_key_mask,
+from .modules import (StdLayerNorm, TransformerEncoderLayer, encoder_layer, length_key_mask,
                       positional_encoding)
 
 
@@ -139,7 +139,7 @@ class MBTFusion(nn.Module):
         for layer in range(self.n_layers):
             if layer < self.fusion_startidx:
                 xs = [
-                    TransformerEncoderLayer(
+                    encoder_layer(
                         D, self.n_head, self.d_ff, self.dropout, self.dtype,
                         name=f"layers_{layer}_{m}")(xs[m], key_masks[m],
                                                     deterministic)
@@ -152,7 +152,7 @@ class MBTFusion(nn.Module):
                     new_xs.append(xs[m])
                     continue
                 b_in = jnp.concatenate([bottlenecks, xs[m]], axis=1)
-                out = TransformerEncoderLayer(
+                out = encoder_layer(
                     D, self.n_head, self.d_ff, self.dropout, self.dtype,
                     name=f"layers_{layer}_{m}")(b_in, b_key_masks[m],
                                                 deterministic)
@@ -325,7 +325,7 @@ class MultitokenMBTFusion(nn.Module):
         for layer in range(self.n_layers):
             if layer < self.fusion_startidx:
                 for m in range(M):
-                    xs[m] = TransformerEncoderLayer(
+                    xs[m] = encoder_layer(
                         D, self.n_head, self.d_ff, self.dropout, self.dtype,
                         name=f"layers_{layer}_{m}")(xs[m], plain_masks[m],
                                                     deterministic)
@@ -337,7 +337,7 @@ class MultitokenMBTFusion(nn.Module):
                     [jnp.concatenate([groups[g] for g in
                                       GROUPS_PER_MODALITY[m]], axis=1), xs[m]],
                     axis=1)
-                out = TransformerEncoderLayer(
+                out = encoder_layer(
                     D, self.n_head, self.d_ff, self.dropout, self.dtype,
                     name=f"layers_{layer}_{m}")(b_in, b_key_masks[m],
                                                 deterministic)
@@ -431,7 +431,7 @@ class MultitokenMBTVSLTMAINFusion(nn.Module):
         for layer in range(self.n_layers):
             if layer < self.fusion_startidx:
                 for m in range(M):
-                    xs[m] = TransformerEncoderLayer(
+                    xs[m] = encoder_layer(
                         D, self.n_head, self.d_ff, self.dropout, self.dtype,
                         name=f"layers_{layer}_{m}")(xs[m], plain_masks[m],
                                                     deterministic)
@@ -445,7 +445,7 @@ class MultitokenMBTVSLTMAINFusion(nn.Module):
                     bottlenecks = jnp.concatenate(
                         [groups[g] for g in GROUPS_PER_MODALITY[m]], axis=1)
                 b_in = jnp.concatenate([bottlenecks, xs[m]], axis=1)
-                out = TransformerEncoderLayer(
+                out = encoder_layer(
                     D, self.n_head, self.d_ff, self.dropout, self.dtype,
                     name=f"layers_{layer}_{m}")(b_in, b_key_masks[m],
                                                 deterministic)

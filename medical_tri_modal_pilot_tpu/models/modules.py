@@ -181,6 +181,31 @@ class TransformerEncoderLayer(nn.Module):
         return x + h
 
 
+# --remat: rematerialize each encoder layer in the backward pass
+# (jax.checkpoint via flax's lifted nn.remat — identical param tree, ~O(1)
+# layer activations resident instead of O(n_layers); trades recompute
+# FLOPs for HBM, the TPU-native way to scale batch/super-batch size).
+_REMAT = False
+
+
+def set_remat(on: bool) -> None:
+    global _REMAT
+    _REMAT = bool(on)
+
+
+def encoder_layer(d_model, num_heads, d_ff, dropout_p=0.1,
+                  dtype=jnp.float32, name=None) -> nn.Module:
+    """TransformerEncoderLayer, wrapped in nn.remat when --remat is set.
+    The lifted transform preserves the module's name and param tree, so
+    checkpoints are interchangeable between the two modes."""
+    cls = TransformerEncoderLayer
+    if _REMAT:
+        # lifted-transform arg indices include the module itself at 0:
+        # (mdl, x, key_mask, deterministic) -> deterministic is static arg 3
+        cls = nn.remat(TransformerEncoderLayer, static_argnums=(3,))
+    return cls(d_model, num_heads, d_ff, dropout_p, dtype, name=name)
+
+
 class CrossmodalTransformerEncoderLayer(nn.Module):
     """q/kv pre-norm cross-attention block (encoder.py:251-278)."""
     d_model: int

@@ -232,6 +232,8 @@ class Trainer:
                  eval_only: bool = False):
         from .. import ops
         ops.configure(bool(cfg.use_pallas) and jax.default_backend() == "tpu")
+        from ..models.modules import set_remat
+        set_remat(bool(getattr(cfg, "remat", 0)) and not eval_only)
         self.cfg = cfg
         self.model = model
         self.eval_only = eval_only

@@ -104,3 +104,26 @@ def test_tensor_parallel_sharded_step_matches_dp():
     import numpy as np
     np.testing.assert_allclose(np.asarray(probs_dp), np.asarray(probs_tp),
                                atol=1e-4)
+
+
+def test_remat_matches_plain_step():
+    """--remat 1 rematerializes encoder layers (flax nn.remat); the param
+    tree and the loss must match the plain step (same math, recomputed)."""
+    from __graft_entry__ import _synthetic_batch, _tiny_cfg
+    from medical_tri_modal_pilot_tpu.models import get_model
+    from medical_tri_modal_pilot_tpu.models.modules import set_remat
+    from medical_tri_modal_pilot_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(8)
+    batch = _synthetic_batch(cfg, 8)
+    try:
+        plain = Trainer(cfg, get_model(cfg), 10, batch)
+        l0 = float(plain.train_step(batch))
+        remat = Trainer(cfg.replace(remat=1), get_model(cfg), 10, batch)
+        import jax
+        assert jax.tree.structure(remat.state.params) == \
+            jax.tree.structure(plain.state.params)
+        l1 = float(remat.train_step(batch))
+    finally:
+        set_remat(False)
+    assert abs(l0 - l1) < 1e-5
