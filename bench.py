@@ -103,9 +103,10 @@ def _bench_host_pipeline(batch: int) -> dict:
                 "host_pipeline_note": (
                     f"real loader over {n_batches} synthetic-fixture "
                     "batches (pkl+jpeg+h5, C++ TIE assembler, 4 thread "
-                    "workers); training overlaps this with device compute "
-                    "via device_prefetch, so e2e throughput ~= "
-                    "min(host, device)")}
+                    f"workers on a {os.cpu_count()}-core host); training "
+                    "overlaps this with device compute via device_prefetch, "
+                    "so e2e throughput ~= min(host, device); production "
+                    "hosts have more cores per chip")}
     except Exception as e:   # pragma: no cover - best-effort diagnostics
         return {"host_pipeline_error": f"{type(e).__name__}: {e}"}
 

@@ -207,6 +207,13 @@ def build_parser() -> argparse.ArgumentParser:
                              'torch.autograd.set_detect_anomaly (2_train.py:31)')
     parser.add_argument('--dp-size', type=int, default=0,
                         help='data-parallel mesh size; 0 = all local devices')
+    parser.add_argument('--prng', type=str, default='auto',
+                        choices=['auto', 'threefry2x32', 'rbg'],
+                        help='dropout PRNG: threefry2x32 (jax default, '
+                             'reproducible across backends) or rbg (XLA '
+                             'RngBitGenerator, much cheaper on TPU; '
+                             'deterministic per machine+version). auto = '
+                             'rbg on TPU, threefry elsewhere')
     parser.add_argument('--remat', type=int, default=0, choices=[0, 1],
                         help='rematerialize encoder layers in the backward '
                              '(jax.checkpoint): ~O(1) resident layer '
@@ -349,6 +356,7 @@ class Config:
     dp_size: int
     mp_size: int
     remat: int
+    prng: str
     ckpt_backend: str
     checkpoint_every: int
     profile_dir: Optional[str]

@@ -28,8 +28,10 @@ count so the reference's uniform-over-real-keys behavior (txt length==3
 recomputes probabilities blockwise from row stats (m, l) saved by the
 forward and honors the same dynamic bound.
 
-Layout: q, k, v are [B, H, L, Dh]. Forward grid is (B*H, q_blocks);
-backward grid is (B*H,) with dq/dk/dv accumulated in VMEM carries.
+Layout: q, k, v stay [B, H, L, Dh] end-to-end (no B*H reshape — it
+would force XLA layout copies before the custom call). Forward grid is
+(B, H, q_blocks); backward grid is (B, H) with dq/dk/dv accumulated in
+VMEM carries.
 """
 from __future__ import annotations
 
@@ -88,11 +90,11 @@ def _block_counts(last: jnp.ndarray, n_blocks: int, block: int) -> jnp.ndarray:
 
 def _fwd_kernel(kc_ref, qc_ref, q_ref, k_ref, v_ref, m_ref, o_ref, st_ref, *,
                 scale: float, l_real: int, n_kblocks: int, block_k: int,
-                n_heads: int, combined_mask: bool):
-    bh = pl.program_id(0)
-    qi = pl.program_id(1)
-    kcount = kc_ref[bh // n_heads]
-    qcount = qc_ref[bh // n_heads]
+                combined_mask: bool):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    kcount = kc_ref[b]
+    qcount = qc_ref[b]
 
     # q blocks past the per-sample valid length are semantically dead in
     # self-attention (their rows are masked as keys everywhere and no head
@@ -100,23 +102,23 @@ def _fwd_kernel(kc_ref, qc_ref, q_ref, k_ref, v_ref, m_ref, o_ref, st_ref, *,
     # full block count unless the caller declared self-attention.
     @pl.when(qi >= qcount)
     def _dead_block():
-        n = o_ref.shape[1]
-        o_ref[0] = jnp.zeros_like(o_ref[0])
-        st_ref[0] = jnp.concatenate(      # m=0, l=1: bwd-safe (never read)
+        n = o_ref.shape[2]
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+        st_ref[0, 0] = jnp.concatenate(   # m=0, l=1: bwd-safe (never read)
             [jnp.zeros((n, 1), jnp.float32), jnp.ones((n, 1), jnp.float32),
              jnp.zeros((n, STATS_LANES - 2), jnp.float32)], axis=1)
 
     @pl.when(qi < qcount)
     def _live_block():
-        q = q_ref[0]                                       # [BLOCK_Q, D]
+        q = q_ref[0, 0]                                    # [BLOCK_Q, D]
         acc = jnp.zeros((q.shape[0], q_ref.shape[-1]), jnp.float32)
         m_i = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
         l_i = jnp.zeros((q.shape[0], 1), jnp.float32)
 
         def body(kb, carry):
             acc, m_i, l_i = carry
-            k = k_ref[0, pl.ds(kb * block_k, block_k), :]
-            v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+            k = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+            v = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # [BQ, BK]
@@ -140,9 +142,9 @@ def _fwd_kernel(kc_ref, qc_ref, q_ref, k_ref, v_ref, m_ref, o_ref, st_ref, *,
 
         acc, m_i, l_i = jax.lax.fori_loop(0, kcount, body, (acc, m_i, l_i))
         l_safe = jnp.maximum(l_i, 1e-30)
-        o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
         pad = jnp.zeros((q.shape[0], STATS_LANES - 2), jnp.float32)
-        st_ref[0] = jnp.concatenate([m_i, l_safe, pad], axis=1)
+        st_ref[0, 0] = jnp.concatenate([m_i, l_safe, pad], axis=1)
 
 
 def _pad_mask(mask, lq_pad: int, lk_pad: int):
@@ -173,12 +175,12 @@ def _fwd(q, k, v, mask, scale, is_self: bool):
     lk_pad = _round_up(Lk, block_k)
     n_kblocks = lk_pad // block_k
     n_qblocks = lq_pad // block_q
+    # operands stay [B, H, L, D] — a B*H reshape would force XLA to
+    # materialize a layout copy of every operand before the custom call
+    # (measured ~4 ms/step of pure copies at the flagship shape)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
-    qp = qp.reshape(B * H, lq_pad, D)
-    kp = kp.reshape(B * H, lk_pad, D)
-    vp = vp.reshape(B * H, lk_pad, D)
     broadcast_q = mask.shape[1] == 1
     # dynamic skip bound only for 2D (broadcast) key masks: for 3D block
     # masks a fully-masked row's uniform output depends on every real key
@@ -198,16 +200,16 @@ def _fwd(q, k, v, mask, scale, is_self: bool):
         kcounts = jnp.full((B,), n_kblocks, jnp.int32)
         qcounts = jnp.full((B,), n_qblocks, jnp.int32)
 
-    grid = (B * H, n_qblocks)
+    grid = (B, H, n_qblocks)
     if broadcast_q:
         m_spec = pl.BlockSpec((1, 1, lk_pad),
-                              lambda bh, qi, kc, qc: (bh // H, 0, 0))
+                              lambda b, h, qi, kc, qc: (b, 0, 0))
     else:
         m_spec = pl.BlockSpec((1, block_q, lk_pad),
-                              lambda bh, qi, kc, qc: (bh // H, qi, 0))
+                              lambda b, h, qi, kc, qc: (b, qi, 0))
     kern = functools.partial(
         _fwd_kernel, scale=scale, l_real=Lk,
-        n_kblocks=n_kblocks, block_k=block_k, n_heads=H,
+        n_kblocks=n_kblocks, block_k=block_k,
         combined_mask=broadcast_q)
     out, stats = pl.pallas_call(
         kern,
@@ -215,28 +217,28 @@ def _fwd(q, k, v, mask, scale, is_self: bool):
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, D),
-                             lambda bh, qi, kc, qc: (bh, qi, 0)),
-                pl.BlockSpec((1, lk_pad, D),
-                             lambda bh, qi, kc, qc: (bh, 0, 0)),
-                pl.BlockSpec((1, lk_pad, D),
-                             lambda bh, qi, kc, qc: (bh, 0, 0)),
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, qi, kc, qc: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, lk_pad, D),
+                             lambda b, h, qi, kc, qc: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lk_pad, D),
+                             lambda b, h, qi, kc, qc: (b, h, 0, 0)),
                 m_spec,
             ],
             out_specs=[
-                pl.BlockSpec((1, block_q, D),
-                             lambda bh, qi, kc, qc: (bh, qi, 0)),
-                pl.BlockSpec((1, block_q, STATS_LANES),
-                             lambda bh, qi, kc, qc: (bh, qi, 0)),
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, qi, kc, qc: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_q, STATS_LANES),
+                             lambda b, h, qi, kc, qc: (b, h, qi, 0)),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B * H, lq_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, lq_pad, STATS_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, lq_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, lq_pad, STATS_LANES), jnp.float32),
         ],
         interpret=_interpret(),
     )(kcounts, qcounts, qp, kp, vp, mp)
-    return out.reshape(B, H, lq_pad, D)[:, :, :Lq, :], stats, kcounts, qcounts
+    return out[:, :, :Lq, :], stats, kcounts, qcounts
 
 
 # ---------------------------------------------------------------------------
@@ -246,17 +248,17 @@ def _fwd(q, k, v, mask, scale, is_self: bool):
 def _bwd_kernel(kc_ref, qc_ref, q_ref, k_ref, v_ref, do_ref, o_ref, st_ref,
                 m_ref, dq_ref, dk_ref, dv_ref, dq_s, *, scale: float,
                 l_real: int, lq_real: int, n_qblocks: int, n_kblocks: int,
-                block_q: int, block_k: int, broadcast_q: bool, n_heads: int):
+                block_q: int, block_k: int, broadcast_q: bool):
     # broadcast_q => m_ref is the combined f32 mask (0/MASK_FILL/PAD_NEG)
-    """Grid over (B*H,). p recomputed per (q-block, k-block) from saved
+    """Grid over (B, H). p recomputed per (q-block, k-block) from saved
     (m, l); dq/dk/dv accumulated in VMEM carries; the k loop stops at the
     per-sample block count (skipped k rows keep their zero init — their
     true gradient is zero because every query masks them), and the q loop
     at the per-sample q-block count (dead self-attention rows have zero
     output gradient flowing anywhere real)."""
-    bh = pl.program_id(0)
-    kcount = kc_ref[bh // n_heads]
-    qcount = qc_ref[bh // n_heads]
+    b = pl.program_id(0)
+    kcount = kc_ref[b]
+    qcount = qc_ref[b]
     D = q_ref.shape[-1]
 
     # refs double as accumulators (Mosaic supports dynamic ref indexing,
@@ -265,21 +267,23 @@ def _bwd_kernel(kc_ref, qc_ref, q_ref, k_ref, v_ref, do_ref, o_ref, st_ref,
     # round at every += . Skipped k blocks keep the zero init — their true
     # gradient is zero (every query masks them).
     dq_s[...] = jnp.zeros((n_qblocks * block_q, D), jnp.float32)
-    dk_ref[0] = jnp.zeros((n_kblocks * block_k, D), dk_ref.dtype)
-    dv_ref[0] = jnp.zeros((n_kblocks * block_k, D), dv_ref.dtype)
+    dk_ref[0, 0] = jnp.zeros((n_kblocks * block_k, D), dk_ref.dtype)
+    dv_ref[0, 0] = jnp.zeros((n_kblocks * block_k, D), dv_ref.dtype)
 
     def kbody(kb, _):
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        k = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
         jcol = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), dimension=1)
 
         def qbody(qi, inner):
             dk_blk, dv_blk = inner
-            q = q_ref[0, pl.ds(qi * block_q, block_q), :]
-            do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-            o = o_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-            st = st_ref[0, pl.ds(qi * block_q, block_q), :]
+            q = q_ref[0, 0, pl.ds(qi * block_q, block_q), :]
+            do = do_ref[0, 0,
+                        pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+            o = o_ref[0, 0,
+                      pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+            st = st_ref[0, 0, pl.ds(qi * block_q, block_q), :]
             m_row = st[:, 0:1]
             l_row = st[:, 1:2]
             s = jax.lax.dot_general(
@@ -323,14 +327,14 @@ def _bwd_kernel(kc_ref, qc_ref, q_ref, k_ref, v_ref, do_ref, o_ref, st_ref,
         dv_blk0 = jnp.zeros((block_k, D), jnp.float32)
         dk_blk, dv_blk = jax.lax.fori_loop(
             0, qcount, qbody, (dk_blk0, dv_blk0))
-        dk_ref[0, pl.ds(kb * block_k, block_k), :] = dk_blk.astype(
+        dk_ref[0, 0, pl.ds(kb * block_k, block_k), :] = dk_blk.astype(
             dk_ref.dtype)
-        dv_ref[0, pl.ds(kb * block_k, block_k), :] = dv_blk.astype(
+        dv_ref[0, 0, pl.ds(kb * block_k, block_k), :] = dv_blk.astype(
             dv_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, kcount, kbody, 0)
-    dq_ref[0] = dq_s[...].astype(dq_ref.dtype)
+    dq_ref[0, 0] = dq_s[...].astype(dq_ref.dtype)
 
 
 def _bwd(scale, res, g):
@@ -340,11 +344,11 @@ def _bwd(scale, res, g):
     block_q, block_k = _block_sizes(Lq, Lk)
     lq_pad = _round_up(Lq, block_q)
     lk_pad = _round_up(Lk, block_k)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0))).reshape(B * H, lq_pad, D)
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0))).reshape(B * H, lk_pad, D)
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0))).reshape(B * H, lk_pad, D)
-    dop = jnp.pad(g, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0))).reshape(B * H, lq_pad, D)
-    op = jnp.pad(o, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0))).reshape(B * H, lq_pad, D)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
+    dop = jnp.pad(g, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0)))
+    op = jnp.pad(o, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0)))
     broadcast_q = mask.shape[1] == 1
     mp = (_combined_mask(mask, lk_pad) if broadcast_q
           else _pad_mask(mask, lq_pad, lk_pad))
@@ -353,42 +357,38 @@ def _bwd(scale, res, g):
     kern = functools.partial(
         _bwd_kernel, scale=scale, l_real=Lk, lq_real=Lq,
         n_qblocks=lq_pad // block_q, n_kblocks=lk_pad // block_k,
-        block_q=block_q, block_k=block_k, broadcast_q=broadcast_q,
-        n_heads=H)
+        block_q=block_q, block_k=block_k, broadcast_q=broadcast_q)
     dq, dk, dv = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B * H,),
+            grid=(B, H),
             in_specs=[
-                pl.BlockSpec((1, lq_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
-                pl.BlockSpec((1, lq_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
-                pl.BlockSpec((1, lq_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
-                pl.BlockSpec((1, lq_pad, STATS_LANES),
-                             lambda bh, kc, qc: (bh, 0, 0)),
+                pl.BlockSpec((1, 1, lq_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lk_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lk_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lq_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lq_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lq_pad, STATS_LANES),
+                             lambda b, h, kc, qc: (b, h, 0, 0)),
                 pl.BlockSpec((1, m_rows, lk_pad),
-                             lambda bh, kc, qc: (bh // H, 0, 0)),
+                             lambda b, h, kc, qc: (b, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, lq_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
-                pl.BlockSpec((1, lk_pad, D), lambda bh, kc, qc: (bh, 0, 0)),
+                pl.BlockSpec((1, 1, lq_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lk_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lk_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
             ],
             scratch_shapes=[pltpu.VMEM((lq_pad, D), jnp.float32)],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B * H, lq_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, lk_pad, D), k.dtype),
-            jax.ShapeDtypeStruct((B * H, lk_pad, D), v.dtype),
+            jax.ShapeDtypeStruct((B, H, lq_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, lk_pad, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, lk_pad, D), v.dtype),
         ],
         interpret=_interpret(),
     )(kcounts, qcounts, qp, kp, vp, dop, op, stats, mp)
-    dq = dq.reshape(B, H, lq_pad, D)[:, :, :Lq, :]
-    dk = dk.reshape(B, H, lk_pad, D)[:, :, :Lk, :]
-    dv = dv.reshape(B, H, lk_pad, D)[:, :, :Lk, :]
-    return dq, dk, dv, None
+    return (dq[:, :, :Lq, :], dk[:, :, :Lk, :], dv[:, :, :Lk, :], None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

@@ -243,6 +243,15 @@ class Trainer:
         from ..models.registry import frozen_img_trunk
         self.tx = None if eval_only else build_optimizer(
             cfg, self.schedule, mask_frozen_img=frozen_img_trunk(cfg))
+        # dropout PRNG: threefry mask generation showed up at ~10% of the
+        # measured step (six [B,1024,256] draws/layer-stack); the XLA
+        # RngBitGenerator is far cheaper on TPU and dropout needs no
+        # cross-backend reproducibility (the reference uses torch RNG)
+        prng = getattr(cfg, "prng", "auto")
+        if prng == "auto":
+            prng = ("rbg" if jax.default_backend() == "tpu"
+                    else "threefry2x32")
+        jax.config.update("jax_default_prng_impl", prng)
         self._rng = jax.random.PRNGKey(seed)
 
         batch = self._device_batch(sample_batch)
