@@ -28,10 +28,12 @@ count so the reference's uniform-over-real-keys behavior (txt length==3
 recomputes probabilities blockwise from row stats (m, l) saved by the
 forward and honors the same dynamic bound.
 
-Layout: q, k, v stay [B, H, L, Dh] end-to-end (no B*H reshape — it
-would force XLA layout copies before the custom call). Forward grid is
-(B, H, q_blocks); backward grid is (B, H) with dq/dk/dv accumulated in
-VMEM carries.
+Layout: q, k, v stay [B, L, H, Dh] at the interface and enter the
+kernels as packed [B, L, H*Dh] (a free bitcast — a head transpose or B*H
+reshape would force XLA layout copies around the custom call). Forward
+grid is (B, q_blocks); backward grid is (B,); heads run as an unrolled
+in-kernel loop over contiguous d_head lane slices, so the mask block is
+DMA'd once per program, with dq/dk/dv accumulated in VMEM carries.
 """
 from __future__ import annotations
 
@@ -90,9 +92,15 @@ def _block_counts(last: jnp.ndarray, n_blocks: int, block: int) -> jnp.ndarray:
 
 def _fwd_kernel(kc_ref, qc_ref, q_ref, k_ref, v_ref, m_ref, o_ref, st_ref, *,
                 scale: float, l_real: int, n_kblocks: int, block_k: int,
-                combined_mask: bool):
+                combined_mask: bool, n_heads: int, d_head: int):
+    """One program per (sample, q-block); ALL heads are processed in an
+    unrolled head loop over contiguous d_head lane slices of a
+    [block, H*D] tile (the natural packed layout out of the qkv
+    projections — Mosaic cannot lift unit middle dims or shape-cast
+    [.., H, D] blocks, but static lane slices compile cleanly). The mask
+    block is DMA'd once per q-block, not per head."""
     b = pl.program_id(0)
-    qi = pl.program_id(2)
+    qi = pl.program_id(1)
     kcount = kc_ref[b]
     qcount = qc_ref[b]
 
@@ -100,51 +108,68 @@ def _fwd_kernel(kc_ref, qc_ref, q_ref, k_ref, v_ref, m_ref, o_ref, st_ref, *,
     # self-attention (their rows are masked as keys everywhere and no head
     # reads them) — emit zeros and skip the k loop entirely. qcount is the
     # full block count unless the caller declared self-attention.
+    n = o_ref.shape[1]
+    H, D = n_heads, d_head
+
     @pl.when(qi >= qcount)
     def _dead_block():
-        n = o_ref.shape[2]
-        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
-        st_ref[0, 0] = jnp.concatenate(   # m=0, l=1: bwd-safe (never read)
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+        st = jnp.concatenate(             # m=0, l=1: bwd-safe (never read)
             [jnp.zeros((n, 1), jnp.float32), jnp.ones((n, 1), jnp.float32),
              jnp.zeros((n, STATS_LANES - 2), jnp.float32)], axis=1)
+        st_ref[0] = jnp.concatenate([st] * H, axis=1)
 
     @pl.when(qi < qcount)
     def _live_block():
-        q = q_ref[0, 0]                                    # [BLOCK_Q, D]
-        acc = jnp.zeros((q.shape[0], q_ref.shape[-1]), jnp.float32)
-        m_i = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
-        l_i = jnp.zeros((q.shape[0], 1), jnp.float32)
+        q_all = q_ref[0]                                   # [BLOCK_Q, H*D]
 
         def body(kb, carry):
-            acc, m_i, l_i = carry
-            k = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]
-            v = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+            accs, m_is, l_is = carry
+            k_all = k_ref[0, pl.ds(kb * block_k, block_k)]  # [BK, H*D]
+            v_all = v_ref[0, pl.ds(kb * block_k, block_k)]
             mblk = m_ref[0, :, pl.ds(kb * block_k, block_k)]  # [1|BQ, BK]
-            if combined_mask:
-                # f32: 0 = live, MASK_FILL_VALUE = masked, PAD_NEG = padding
-                s = jnp.where(mblk != 0.0, mblk.astype(jnp.float32), s)
-            else:
-                s = jnp.where(mblk != 0, MASK_FILL_VALUE, s)
+            if not combined_mask:
                 j = kb * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, s.shape, dimension=1)
-                s = jnp.where(j >= l_real, PAD_NEG, s)
-            m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m_i - m_new)
-            l_new = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
-            acc = acc * alpha + jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return acc, m_new, l_new
+                    jnp.int32, (n, block_k), dimension=1)
+            new_accs, new_ms, new_ls = [], [], []
+            for h in range(H):
+                sl = slice(h * D, (h + 1) * D)
+                s = jax.lax.dot_general(
+                    q_all[:, sl], k_all[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+                if combined_mask:
+                    # f32: 0 = live, MASK_FILL = masked, PAD_NEG = padding
+                    s = jnp.where(mblk != 0.0, mblk.astype(jnp.float32), s)
+                else:
+                    s = jnp.where(mblk != 0, MASK_FILL_VALUE, s)
+                    s = jnp.where(j >= l_real, PAD_NEG, s)
+                m_new = jnp.maximum(m_is[h],
+                                    jnp.max(s, axis=1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(m_is[h] - m_new)
+                new_ls.append(l_is[h] * alpha
+                              + jnp.sum(p, axis=1, keepdims=True))
+                new_accs.append(accs[h] * alpha + jax.lax.dot_general(
+                    p.astype(v_all.dtype), v_all[:, sl],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                new_ms.append(m_new)
+            return tuple(new_accs), tuple(new_ms), tuple(new_ls)
 
-        acc, m_i, l_i = jax.lax.fori_loop(0, kcount, body, (acc, m_i, l_i))
-        l_safe = jnp.maximum(l_i, 1e-30)
-        o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
-        pad = jnp.zeros((q.shape[0], STATS_LANES - 2), jnp.float32)
-        st_ref[0, 0] = jnp.concatenate([m_i, l_safe, pad], axis=1)
+        accs0 = tuple(jnp.zeros((n, D), jnp.float32) for _ in range(H))
+        ms0 = tuple(jnp.full((n, 1), -jnp.inf, jnp.float32)
+                    for _ in range(H))
+        ls0 = tuple(jnp.zeros((n, 1), jnp.float32) for _ in range(H))
+        accs, m_is, l_is = jax.lax.fori_loop(0, kcount, body,
+                                             (accs0, ms0, ls0))
+        l_safes = [jnp.maximum(l, 1e-30) for l in l_is]
+        o_ref[0] = jnp.concatenate(
+            [(a / l).astype(o_ref.dtype) for a, l in zip(accs, l_safes)],
+            axis=1)
+        pad = jnp.zeros((n, STATS_LANES - 2), jnp.float32)
+        st_ref[0] = jnp.concatenate(
+            [jnp.concatenate([m, l, pad], axis=1)
+             for m, l in zip(m_is, l_safes)], axis=1)
 
 
 def _pad_mask(mask, lq_pad: int, lk_pad: int):
@@ -168,19 +193,24 @@ def _combined_mask(mask, lk_pad: int):
 
 
 def _fwd(q, k, v, mask, scale, is_self: bool):
-    B, H, Lq, D = q.shape
-    Lk = k.shape[2]
+    B, Lq, H, D = q.shape
+    Lk = k.shape[1]
     block_q, block_k = _block_sizes(Lq, Lk)
     lq_pad = _round_up(Lq, block_q)
     lk_pad = _round_up(Lk, block_k)
     n_kblocks = lk_pad // block_k
     n_qblocks = lq_pad // block_q
-    # operands stay [B, H, L, D] — a B*H reshape would force XLA to
-    # materialize a layout copy of every operand before the custom call
-    # (measured ~4 ms/step of pure copies at the flagship shape)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
+    # operands enter the kernel as [B, L, H*D] — a free bitcast of the
+    # natural [B, L, H, D] layout out of the qkv projections; a head
+    # transpose or B*H reshape here would force XLA to materialize a
+    # layout copy of every operand around the custom call (measured
+    # ~4 ms/step of pure copies at the flagship shape)
+    qp = jnp.pad(q, ((0, 0), (0, lq_pad - Lq), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, lk_pad - Lk), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, lk_pad - Lk), (0, 0), (0, 0)))
+    qp = qp.reshape(B, lq_pad, H * D)
+    kp = kp.reshape(B, lk_pad, H * D)
+    vp = vp.reshape(B, lk_pad, H * D)
     broadcast_q = mask.shape[1] == 1
     # dynamic skip bound only for 2D (broadcast) key masks: for 3D block
     # masks a fully-masked row's uniform output depends on every real key
@@ -200,45 +230,46 @@ def _fwd(q, k, v, mask, scale, is_self: bool):
         kcounts = jnp.full((B,), n_kblocks, jnp.int32)
         qcounts = jnp.full((B,), n_qblocks, jnp.int32)
 
-    grid = (B, H, n_qblocks)
+    grid = (B, n_qblocks)
     if broadcast_q:
         m_spec = pl.BlockSpec((1, 1, lk_pad),
-                              lambda b, h, qi, kc, qc: (b, 0, 0))
+                              lambda b, qi, kc, qc: (b, 0, 0))
     else:
         m_spec = pl.BlockSpec((1, block_q, lk_pad),
-                              lambda b, h, qi, kc, qc: (b, qi, 0))
+                              lambda b, qi, kc, qc: (b, qi, 0))
     kern = functools.partial(
         _fwd_kernel, scale=scale, l_real=Lk,
         n_kblocks=n_kblocks, block_k=block_k,
-        combined_mask=broadcast_q)
+        combined_mask=broadcast_q, n_heads=H, d_head=D)
     out, stats = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, block_q, D),
-                             lambda b, h, qi, kc, qc: (b, h, qi, 0)),
-                pl.BlockSpec((1, 1, lk_pad, D),
-                             lambda b, h, qi, kc, qc: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, lk_pad, D),
-                             lambda b, h, qi, kc, qc: (b, h, 0, 0)),
+                pl.BlockSpec((1, block_q, H * D),
+                             lambda b, qi, kc, qc: (b, qi, 0)),
+                pl.BlockSpec((1, lk_pad, H * D),
+                             lambda b, qi, kc, qc: (b, 0, 0)),
+                pl.BlockSpec((1, lk_pad, H * D),
+                             lambda b, qi, kc, qc: (b, 0, 0)),
                 m_spec,
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, block_q, D),
-                             lambda b, h, qi, kc, qc: (b, h, qi, 0)),
-                pl.BlockSpec((1, 1, block_q, STATS_LANES),
-                             lambda b, h, qi, kc, qc: (b, h, qi, 0)),
+                pl.BlockSpec((1, block_q, H * D),
+                             lambda b, qi, kc, qc: (b, qi, 0)),
+                pl.BlockSpec((1, block_q, H * STATS_LANES),
+                             lambda b, qi, kc, qc: (b, qi, 0)),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, lq_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, lq_pad, STATS_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, lq_pad, H * D), q.dtype),
+            jax.ShapeDtypeStruct((B, lq_pad, H * STATS_LANES), jnp.float32),
         ],
         interpret=_interpret(),
     )(kcounts, qcounts, qp, kp, vp, mp)
-    return out[:, :, :Lq, :], stats, kcounts, qcounts
+    out = out.reshape(B, lq_pad, H, D)[:, :Lq]
+    return out, stats, kcounts, qcounts
 
 
 # ---------------------------------------------------------------------------
@@ -248,107 +279,119 @@ def _fwd(q, k, v, mask, scale, is_self: bool):
 def _bwd_kernel(kc_ref, qc_ref, q_ref, k_ref, v_ref, do_ref, o_ref, st_ref,
                 m_ref, dq_ref, dk_ref, dv_ref, dq_s, *, scale: float,
                 l_real: int, lq_real: int, n_qblocks: int, n_kblocks: int,
-                block_q: int, block_k: int, broadcast_q: bool):
+                block_q: int, block_k: int, broadcast_q: bool, n_heads: int,
+                d_head: int):
     # broadcast_q => m_ref is the combined f32 mask (0/MASK_FILL/PAD_NEG)
-    """Grid over (B, H). p recomputed per (q-block, k-block) from saved
-    (m, l); dq/dk/dv accumulated in VMEM carries; the k loop stops at the
-    per-sample block count (skipped k rows keep their zero init — their
-    true gradient is zero because every query masks them), and the q loop
-    at the per-sample q-block count (dead self-attention rows have zero
-    output gradient flowing anywhere real)."""
+    """Grid over (B,), heads unrolled over contiguous d_head lane slices
+    (packed [.., H*D] layout — see _fwd_kernel). p recomputed per
+    (q-block, k-block) from saved (m, l); dq accumulates in an f32 VMEM
+    scratch [lq_pad, H*D]; the k loop stops at the per-sample block count
+    (skipped k rows keep their zero init — their true gradient is zero
+    because every query masks them), and the q loop at the per-sample
+    q-block count (dead self-attention rows have zero output gradient
+    flowing anywhere real)."""
     b = pl.program_id(0)
     kcount = kc_ref[b]
     qcount = qc_ref[b]
-    D = q_ref.shape[-1]
+    H, D = n_heads, d_head
 
-    # refs double as accumulators (Mosaic supports dynamic ref indexing,
-    # but not dynamic_update_slice on loop-carried values); dq accumulates
-    # across k blocks in an f32 scratch so a bf16 output dtype doesn't
-    # round at every += . Skipped k blocks keep the zero init — their true
-    # gradient is zero (every query masks them).
-    dq_s[...] = jnp.zeros((n_qblocks * block_q, D), jnp.float32)
-    dk_ref[0, 0] = jnp.zeros((n_kblocks * block_k, D), dk_ref.dtype)
-    dv_ref[0, 0] = jnp.zeros((n_kblocks * block_k, D), dv_ref.dtype)
+    dq_s[...] = jnp.zeros((n_qblocks * block_q, H * D), jnp.float32)
+    dk_ref[0] = jnp.zeros_like(dk_ref[0])
+    dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     def kbody(kb, _):
-        k = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]
-        v = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+        k_all = k_ref[0, pl.ds(kb * block_k, block_k)]     # [BK, H*D]
+        v_all = v_ref[0, pl.ds(kb * block_k, block_k)]
         jcol = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), dimension=1)
 
         def qbody(qi, inner):
-            dk_blk, dv_blk = inner
-            q = q_ref[0, 0, pl.ds(qi * block_q, block_q), :]
-            do = do_ref[0, 0,
-                        pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-            o = o_ref[0, 0,
-                      pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-            st = st_ref[0, 0, pl.ds(qi * block_q, block_q), :]
-            m_row = st[:, 0:1]
-            l_row = st[:, 1:2]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+            dk_hs, dv_hs = inner
+            q_all = q_ref[0, pl.ds(qi * block_q, block_q)]  # [BQ, H*D]
+            do_all = do_ref[0, pl.ds(qi * block_q, block_q)].astype(
+                jnp.float32)
+            o_all = o_ref[0, pl.ds(qi * block_q, block_q)].astype(
+                jnp.float32)
+            st_all = st_ref[0, pl.ds(qi * block_q, block_q)]  # [BQ, H*S]
             if broadcast_q:
-                mblk = m_ref[0, :, pl.ds(kb * block_k, block_k)]   # [1, BK] f32
-                masked = jnp.broadcast_to(mblk != 0.0, s.shape)
-                s = jnp.where(masked, mblk.astype(jnp.float32), s)
+                mblk = m_ref[0, :, pl.ds(kb * block_k, block_k)]  # [1, BK]
+                masked = jnp.broadcast_to(mblk != 0.0, (block_q, block_k))
             else:
                 mblk = m_ref[0, pl.ds(qi * block_q, block_q),
-                             pl.ds(kb * block_k, block_k)]         # [BQ, BK]
+                             pl.ds(kb * block_k, block_k)]        # [BQ, BK]
                 masked = (mblk != 0) | (jcol >= l_real)
-                s = jnp.where(mblk != 0, MASK_FILL_VALUE, s)
-                s = jnp.where(jcol >= l_real, PAD_NEG, s)
-            p = jnp.exp(s - m_row) / l_row
             qrow = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, 1), dimension=0)
             row_valid = (qrow < lq_real).astype(jnp.float32)
-            pv = (p * row_valid).astype(v.dtype)
-            dv_blk = dv_blk + jax.lax.dot_general(
-                pv, do.astype(v.dtype), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dpart = jax.lax.dot_general(
-                do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            delta = jnp.sum(do * o, axis=1, keepdims=True)
-            ds = p * (dpart - delta) * scale
-            ds = jnp.where(masked, 0.0, ds) * row_valid
-            dsd = ds.astype(k.dtype)
-            dq_upd = jax.lax.dot_general(
-                dsd, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dq_s[pl.ds(qi * block_q, block_q), :] += dq_upd
-            dk_blk = dk_blk + jax.lax.dot_general(
-                dsd, q.astype(k.dtype), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return dk_blk, dv_blk
 
-        dk_blk0 = jnp.zeros((block_k, D), jnp.float32)
-        dv_blk0 = jnp.zeros((block_k, D), jnp.float32)
-        dk_blk, dv_blk = jax.lax.fori_loop(
-            0, qcount, qbody, (dk_blk0, dv_blk0))
-        dk_ref[0, 0, pl.ds(kb * block_k, block_k), :] = dk_blk.astype(
-            dk_ref.dtype)
-        dv_ref[0, 0, pl.ds(kb * block_k, block_k), :] = dv_blk.astype(
-            dv_ref.dtype)
+            new_dk, new_dv = [], []
+            for h in range(H):
+                sl = slice(h * D, (h + 1) * D)
+                q = q_all[:, sl]
+                k = k_all[:, sl]
+                v = v_all[:, sl]
+                do = do_all[:, sl]
+                o = o_all[:, sl]
+                m_row = st_all[:, h * STATS_LANES:h * STATS_LANES + 1]
+                l_row = st_all[:, h * STATS_LANES + 1:h * STATS_LANES + 2]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                if broadcast_q:
+                    s = jnp.where(masked, mblk.astype(jnp.float32), s)
+                else:
+                    s = jnp.where(mblk != 0, MASK_FILL_VALUE, s)
+                    s = jnp.where(jcol >= l_real, PAD_NEG, s)
+                p = jnp.exp(s - m_row) / l_row
+                pv = (p * row_valid).astype(v.dtype)
+                new_dv.append(dv_hs[h] + jax.lax.dot_general(
+                    pv, do.astype(v.dtype), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                dpart = jax.lax.dot_general(
+                    do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                delta = jnp.sum(do * o, axis=1, keepdims=True)
+                ds = p * (dpart - delta) * scale
+                ds = jnp.where(masked, 0.0, ds) * row_valid
+                dsd = ds.astype(k.dtype)
+                dq_upd = jax.lax.dot_general(
+                    dsd, k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dq_s[pl.ds(qi * block_q, block_q), sl] += dq_upd
+                new_dk.append(dk_hs[h] + jax.lax.dot_general(
+                    dsd, q.astype(k.dtype), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            return tuple(new_dk), tuple(new_dv)
+
+        zeros = tuple(jnp.zeros((block_k, D), jnp.float32) for _ in range(H))
+        dk_hs, dv_hs = jax.lax.fori_loop(0, qcount, qbody, (zeros, zeros))
+        dk_ref[0, pl.ds(kb * block_k, block_k)] = jnp.concatenate(
+            dk_hs, axis=1).astype(dk_ref.dtype)
+        dv_ref[0, pl.ds(kb * block_k, block_k)] = jnp.concatenate(
+            dv_hs, axis=1).astype(dv_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, kcount, kbody, 0)
-    dq_ref[0, 0] = dq_s[...].astype(dq_ref.dtype)
+    dq_ref[0] = dq_s[...].astype(dq_ref.dtype)
 
 
 def _bwd(scale, res, g):
     q, k, v, mask, o, stats, kcounts, qcounts = res
-    B, H, Lq, D = q.shape
-    Lk = k.shape[2]
+    B, Lq, H, D = q.shape
+    Lk = k.shape[1]
     block_q, block_k = _block_sizes(Lq, Lk)
     lq_pad = _round_up(Lq, block_q)
     lk_pad = _round_up(Lk, block_k)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
-    dop = jnp.pad(g, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0)))
-    op = jnp.pad(o, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0)))
+    qp = jnp.pad(q, ((0, 0), (0, lq_pad - Lq), (0, 0), (0, 0))).reshape(
+        B, lq_pad, H * D)
+    kp = jnp.pad(k, ((0, 0), (0, lk_pad - Lk), (0, 0), (0, 0))).reshape(
+        B, lk_pad, H * D)
+    vp = jnp.pad(v, ((0, 0), (0, lk_pad - Lk), (0, 0), (0, 0))).reshape(
+        B, lk_pad, H * D)
+    dop = jnp.pad(g, ((0, 0), (0, lq_pad - Lq), (0, 0), (0, 0))).reshape(
+        B, lq_pad, H * D)
+    op = jnp.pad(o, ((0, 0), (0, lq_pad - Lq), (0, 0), (0, 0))).reshape(
+        B, lq_pad, H * D)
     broadcast_q = mask.shape[1] == 1
     mp = (_combined_mask(mask, lk_pad) if broadcast_q
           else _pad_mask(mask, lq_pad, lk_pad))
@@ -357,38 +400,45 @@ def _bwd(scale, res, g):
     kern = functools.partial(
         _bwd_kernel, scale=scale, l_real=Lk, lq_real=Lq,
         n_qblocks=lq_pad // block_q, n_kblocks=lk_pad // block_k,
-        block_q=block_q, block_k=block_k, broadcast_q=broadcast_q)
+        block_q=block_q, block_k=block_k, broadcast_q=broadcast_q,
+        n_heads=H, d_head=D)
     dq, dk, dv = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, H),
+            grid=(B,),
             in_specs=[
-                pl.BlockSpec((1, 1, lq_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, lk_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, lk_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, lq_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, lq_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, lq_pad, STATS_LANES),
-                             lambda b, h, kc, qc: (b, h, 0, 0)),
+                pl.BlockSpec((1, lq_pad, H * D), lambda b, kc, qc: (b, 0, 0)),
+                pl.BlockSpec((1, lk_pad, H * D), lambda b, kc, qc: (b, 0, 0)),
+                pl.BlockSpec((1, lk_pad, H * D), lambda b, kc, qc: (b, 0, 0)),
+                pl.BlockSpec((1, lq_pad, H * D), lambda b, kc, qc: (b, 0, 0)),
+                pl.BlockSpec((1, lq_pad, H * D), lambda b, kc, qc: (b, 0, 0)),
+                pl.BlockSpec((1, lq_pad, H * STATS_LANES),
+                             lambda b, kc, qc: (b, 0, 0)),
                 pl.BlockSpec((1, m_rows, lk_pad),
-                             lambda b, h, kc, qc: (b, 0, 0)),
+                             lambda b, kc, qc: (b, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, lq_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, lk_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, lk_pad, D), lambda b, h, kc, qc: (b, h, 0, 0)),
+                pl.BlockSpec((1, lq_pad, H * D), lambda b, kc, qc: (b, 0, 0)),
+                pl.BlockSpec((1, lk_pad, H * D), lambda b, kc, qc: (b, 0, 0)),
+                pl.BlockSpec((1, lk_pad, H * D), lambda b, kc, qc: (b, 0, 0)),
             ],
-            scratch_shapes=[pltpu.VMEM((lq_pad, D), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((lq_pad, H * D), jnp.float32)],
         ),
+        # whole-sample blocks x double buffering exceed the default 16MB
+        # scoped-vmem budget at fp32 test shapes; v5e VMEM is far larger
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, lq_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, lk_pad, D), k.dtype),
-            jax.ShapeDtypeStruct((B, H, lk_pad, D), v.dtype),
+            jax.ShapeDtypeStruct((B, lq_pad, H * D), q.dtype),
+            jax.ShapeDtypeStruct((B, lk_pad, H * D), k.dtype),
+            jax.ShapeDtypeStruct((B, lk_pad, H * D), v.dtype),
         ],
         interpret=_interpret(),
     )(kcounts, qcounts, qp, kp, vp, dop, op, stats, mp)
-    return (dq[:, :, :Lq, :], dk[:, :, :Lk, :], dv[:, :, :Lk, :], None)
+    dq = dq.reshape(B, lq_pad, H, D)[:, :Lq]
+    dk = dk.reshape(B, lk_pad, H, D)[:, :Lk]
+    dv = dv.reshape(B, lk_pad, H, D)[:, :Lk]
+    return (dq, dk, dv, None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -411,10 +461,11 @@ _flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 def pallas_masked_attention(q, k, v, key_mask: Optional[jnp.ndarray],
                             scale: float, is_self: bool = False) -> jnp.ndarray:
-    """Drop-in for modules.masked_softmax_attention. Accepts the same mask
-    forms: None, a [B, Lk] key-pad mask (True = masked; NOT assumed
-    tail-contiguous — early-fusion concatenations pad mid-sequence), or a
-    full [B, Lq, Lk] block mask (multitoken MBT variants).
+    """Drop-in for modules.masked_softmax_attention (q/k/v [B, L, H, Dh]).
+    Accepts the same mask forms: None, a [B, Lk] key-pad mask (True =
+    masked; NOT assumed tail-contiguous — early-fusion concatenations pad
+    mid-sequence), or a full [B, Lq, Lk] block mask (multitoken MBT
+    variants).
 
     ``is_self`` (set by MultiHeadAttention when query/key/value are the
     same stream) additionally skips q blocks past each sample's last valid
@@ -422,7 +473,7 @@ def pallas_masked_attention(q, k, v, key_mask: Optional[jnp.ndarray],
     and their outputs are emitted as zeros instead of the XLA path's
     unused weighted averages."""
     B = q.shape[0]
-    Lk = k.shape[2]
+    Lk = k.shape[1]
     if key_mask is None:
         m = jnp.zeros((B, 1, Lk), jnp.int8)
     elif key_mask.ndim == 2:

@@ -456,11 +456,11 @@ class CROSS_TRANSFORMER(nn.Module):
                 cfg.transformer_dim * 4, cfg.dropout, dt,
                 name=f"self_o_{i}")(o, o_mask, deterministic)
         for i in range(n_cross):
-            v_new = Crossmodalencoder_layer(
+            v_new = CrossmodalTransformerEncoderLayer(
                 cfg.transformer_dim, cfg.transformer_num_head,
                 cfg.transformer_dim * 4, cfg.dropout, dt,
                 name=f"cross_v_{i}")(v, o, o_mask, deterministic)
-            o = Crossmodalencoder_layer(
+            o = CrossmodalTransformerEncoderLayer(
                 cfg.transformer_dim, cfg.transformer_num_head,
                 cfg.transformer_dim * 4, cfg.dropout, dt,
                 name=f"cross_o_{i}")(o, v, v_mask, deterministic)

@@ -32,15 +32,23 @@ xavier_dense = lambda feats, name=None, dtype=jnp.float32: nn.Dense(
 
 
 class StdLayerNorm(nn.Module):
-    """(x - mean) / (std + eps) * gamma + beta, std with Bessel correction."""
+    """(x - mean) / (std + eps) * gamma + beta, std with Bessel correction.
+
+    Params live in setup() so ``scales()`` can hand them to fused kernels
+    (kernels/ffn.py) without running the XLA computation; the param tree
+    is identical either way."""
     dim: int
     eps: float = 1e-6
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+        self.beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+
+    def scales(self):
+        return self.gamma, self.beta
+
     def __call__(self, x):
-        gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
-        beta = self.param("beta", nn.initializers.zeros, (self.dim,))
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         n = xf.shape[-1]
@@ -48,7 +56,7 @@ class StdLayerNorm(nn.Module):
         # tiny floor keeps the backward finite at zero variance (torch's
         # std backward yields 0 there; bare sqrt(0) would give inf*0=NaN)
         std = jnp.sqrt(jnp.maximum(var, 1e-24))
-        out = (xf - mean) / (std + self.eps) * gamma + beta
+        out = (xf - mean) / (std + self.eps) * self.gamma + self.beta
         return out.astype(self.dtype)
 
 
@@ -86,14 +94,19 @@ def length_key_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
 def masked_softmax_attention(q, k, v, key_mask: Optional[jnp.ndarray],
                              scale: float,
                              is_self: bool = False) -> jnp.ndarray:
-    """[B, H, Lq, Dh] x [B, H, Lk, Dh] with an optional bool mask: either a
+    """[B, Lq, H, Dh] x [B, Lk, H, Dh] with an optional bool mask: either a
     key-pad mask [B, Lk] or a full [B, Lq, Lk] block mask (the multitoken
     MBT variants use hand-built block masks, mbt_encoder.py:381-423).
+
+    The head axis deliberately sits NEXT TO the feature axis (the natural
+    output layout of the qkv projections) — a [B, H, L, Dh] interface
+    would force a real transpose copy on both sides of every fused-kernel
+    call (measured ~2 ms/step at the flagship shape).
 
     XLA reference path; the Pallas fused kernel (kernels/attention.py) is a
     drop-in replacement selected by ops dispatch.
     """
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) / scale
     if key_mask is not None:
         if key_mask.ndim == 2:
@@ -103,7 +116,7 @@ def masked_softmax_attention(q, k, v, key_mask: Optional[jnp.ndarray],
             scores = jnp.where(key_mask[:, None, :, :], MASK_FILL_VALUE,
                                scores)
     attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
 
 
 # set by ops dispatch; see medical_tri_modal_pilot_tpu/ops/__init__.py
@@ -132,14 +145,32 @@ class MultiHeadAttention(nn.Module):
         q = xavier_dense(self.dim, "query_proj", self.dtype)(query)
         k = xavier_dense(self.dim, "key_proj", self.dtype)(key)
         v = xavier_dense(self.dim, "value_proj", self.dtype)(value)
-        q = q.reshape(B, Lq, self.num_heads, d_head).transpose(0, 2, 1, 3)
-        k = k.reshape(B, Lk, self.num_heads, d_head).transpose(0, 2, 1, 3)
-        v = v.reshape(B, Lk, self.num_heads, d_head).transpose(0, 2, 1, 3)
+        # [B, L, H, Dh] — no head transpose; the attention impls take the
+        # head axis in place (see masked_softmax_attention docstring)
+        q = q.reshape(B, Lq, self.num_heads, d_head)
+        k = k.reshape(B, Lk, self.num_heads, d_head)
+        v = v.reshape(B, Lk, self.num_heads, d_head)
         # is_self: q/k/v from the same stream — lets the fused kernel skip
         # dead q rows past each sample's valid length (kernels/attention.py)
         ctx = _ATTENTION_IMPL(q, k, v, key_mask, math.sqrt(d_head),
                               is_self=query is key)
-        return ctx.transpose(0, 2, 1, 3).reshape(B, Lq, self.dim)
+        return ctx.reshape(B, Lq, self.dim)
+
+
+class _LinearParams(nn.Module):
+    """Param holder matching nn.Dense's tree ({kernel, bias}) and default
+    init (lecun_normal/zeros) — lets FeedForward expose raw weights to the
+    fused FFN kernel while keeping checkpoints interchangeable."""
+    fin: int
+    fout: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.fin, self.fout))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.fout,))
+
+    def __call__(self):
+        return self.kernel, self.bias
 
 
 class FeedForward(nn.Module):
@@ -151,12 +182,29 @@ class FeedForward(nn.Module):
     dropout_p: float = 0.1
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.w_1 = _LinearParams(self.d_model, self.d_ff)
+        self.w_2 = _LinearParams(self.d_ff, self.d_model)
+
+    def weights(self):
+        return (*self.w_1(), *self.w_2())
+
+    def _drop(self, x, deterministic: bool):
+        # nn.Dropout semantics without a submodule (setup-based modules
+        # cannot create children inline): keep/(1-p) else 0
+        if deterministic or self.dropout_p == 0.0:
+            return x
+        q = 1.0 - self.dropout_p
+        keep = jax.random.bernoulli(self.make_rng("dropout"), q, x.shape)
+        return jnp.where(keep, x / q, jnp.zeros_like(x))
+
     def __call__(self, x, deterministic: bool = True):
-        h = nn.relu(nn.Dense(self.d_ff, dtype=self.dtype, name="w_1")(x))
-        h = nn.Dropout(self.dropout_p)(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model, dtype=self.dtype, name="w_2")(h)
-        return nn.Dropout(self.dropout_p)(h, deterministic=deterministic)
+        w1, b1, w2, b2 = self.weights()
+        dt = self.dtype
+        h = nn.relu(jnp.dot(x.astype(dt), w1.astype(dt)) + b1.astype(dt))
+        h = self._drop(h, deterministic)
+        h = jnp.dot(h.astype(dt), w2.astype(dt)) + b2.astype(dt)
+        return self._drop(h, deterministic)
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -175,10 +223,39 @@ class TransformerEncoderLayer(nn.Module):
         h = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype,
                                name="self_attention")(h, h, h, key_mask)
         x = x + h
-        h = StdLayerNorm(self.d_model, dtype=self.dtype, name="feed_forward_prenorm")(x)
-        h = FeedForward(self.d_model, self.d_ff, self.dropout_p,
-                        dtype=self.dtype, name="feed_forward")(h, deterministic)
-        return x + h
+        return _ffn_block(self, x, deterministic)
+
+
+# set by ops dispatch: fused LN->FFN->residual kernel (kernels/ffn.py) or
+# None for the XLA module composition
+_FFN_IMPL = None
+
+
+def set_ffn_impl(fn) -> None:
+    global _FFN_IMPL
+    _FFN_IMPL = fn
+
+
+def _ffn_block(layer: nn.Module, x, deterministic: bool):
+    """The pre-norm FFN half of an encoder layer: x + FFN(StdLN(x)).
+
+    Params always come from the same StdLayerNorm/FeedForward submodules
+    (identical tree/checkpoints); on TPU the computation dispatches to the
+    fused Pallas kernel with in-kernel dropout."""
+    prenorm = StdLayerNorm(layer.d_model, dtype=layer.dtype,
+                           name="feed_forward_prenorm")
+    ffn = FeedForward(layer.d_model, layer.d_ff, layer.dropout_p,
+                      dtype=layer.dtype, name="feed_forward")
+    if _FFN_IMPL is None:
+        return x + ffn(prenorm(x), deterministic)
+    gamma, beta = prenorm.scales()
+    w1, b1, w2, b2 = ffn.weights()
+    seed = None
+    if not deterministic and layer.dropout_p > 0.0:
+        seed = jax.random.randint(layer.make_rng("dropout"), (2,),
+                                  -2 ** 31, 2 ** 31 - 1, dtype=jnp.int32)
+    return _FFN_IMPL(x, gamma, beta, w1, b1, w2, b2, p=layer.dropout_p,
+                     deterministic=deterministic, seed=seed)
 
 
 # --remat: rematerialize each encoder layer in the backward pass
@@ -222,10 +299,7 @@ class CrossmodalTransformerEncoderLayer(nn.Module):
         h = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype,
                                name="self_attention")(q, kv, kv, key_mask)
         x = q_in + h
-        h = StdLayerNorm(self.d_model, dtype=self.dtype, name="feed_forward_prenorm")(x)
-        h = FeedForward(self.d_model, self.d_ff, self.dropout_p,
-                        dtype=self.dtype, name="feed_forward")(h, deterministic)
-        return x + h
+        return _ffn_block(self, x, deterministic)
 
 
 class MLPStem(nn.Module):

@@ -10,10 +10,12 @@ from ..models import umse as _umse
 def configure(use_pallas: bool) -> None:
     if use_pallas:
         from ..kernels.attention import pallas_masked_attention
+        from ..kernels.ffn import pallas_ffn
         from ..kernels.swin_attention import pallas_window_attention
         from ..kernels.swin_mlp import pallas_swin_mlp
         from ..kernels.umse import pallas_umse
         _modules.set_attention_impl(pallas_masked_attention)
+        _modules.set_ffn_impl(pallas_ffn)
         _swin.set_window_attention_impl(pallas_window_attention)
         _swin.set_swin_mlp_impl(pallas_swin_mlp)
         _umse.set_umse_impl(pallas_umse)
@@ -22,6 +24,7 @@ def configure(use_pallas: bool) -> None:
         from ..kernels.swin_mlp import xla_swin_mlp
         from ..kernels.umse import xla_umse
         _modules.set_attention_impl(_modules.masked_softmax_attention)
+        _modules.set_ffn_impl(None)
         _swin.set_window_attention_impl(xla_window_attention)
         _swin.set_swin_mlp_impl(xla_swin_mlp)
         _umse.set_umse_impl(xla_umse)

@@ -14,11 +14,13 @@ from medical_tri_modal_pilot_tpu.models.modules import (
 
 
 def _mk(B, H, L, D, seed=0):
+    # attention operands are [B, L, H, D] (head axis in place — see
+    # modules.masked_softmax_attention)
     k = jax.random.PRNGKey(seed)
     kq, kk, kv = jax.random.split(k, 3)
-    q = jax.random.normal(kq, (B, H, L, D), jnp.float32)
-    kx = jax.random.normal(kk, (B, H, L, D), jnp.float32)
-    v = jax.random.normal(kv, (B, H, L, D), jnp.float32)
+    q = jax.random.normal(kq, (B, L, H, D), jnp.float32)
+    kx = jax.random.normal(kk, (B, L, H, D), jnp.float32)
+    v = jax.random.normal(kv, (B, L, H, D), jnp.float32)
     return q, kx, v
 
 
@@ -45,7 +47,7 @@ def test_fully_masked_rows_uniform():
     q, k, v = _mk(B, H, L, D, seed=1)
     key_mask = jnp.ones((B, L), bool)     # everything masked
     out = pallas_masked_attention(q, k, v, key_mask, 8.0)
-    expect = jnp.mean(v, axis=2, keepdims=True)
+    expect = jnp.mean(v, axis=1, keepdims=True)
     np.testing.assert_allclose(np.asarray(out),
                                np.broadcast_to(np.asarray(expect), out.shape),
                                rtol=2e-5, atol=2e-5)
@@ -193,17 +195,17 @@ def test_self_attention_qblock_skip():
     out = pallas_masked_attention(q, k, v, key_mask, 8.0, is_self=True)
     live = ~np.asarray(key_mask)
     for b in range(B):
-        np.testing.assert_allclose(np.asarray(out)[b][:, live[b], :],
-                                   np.asarray(ref)[b][:, live[b], :],
+        np.testing.assert_allclose(np.asarray(out)[b][live[b]],
+                                   np.asarray(ref)[b][live[b]],
                                    rtol=2e-5, atol=2e-5)
     # rows in fully-dead q blocks are zero (256-aligned block granularity)
     blk = 256
     for b in range(B):
         dead_from = ((lengths[b] + blk - 1) // blk) * blk
         if dead_from < L:
-            assert np.abs(np.asarray(out)[b][:, dead_from:, :]).max() == 0.0
+            assert np.abs(np.asarray(out)[b][dead_from:]).max() == 0.0
 
-    w = jnp.asarray(live[:, None, :, None].astype(np.float32))
+    w = jnp.asarray(live[:, :, None, None].astype(np.float32))
 
     def lp(q, k, v):
         o = pallas_masked_attention(q, k, v, key_mask, 8.0, is_self=True)
@@ -227,7 +229,7 @@ def test_self_attention_all_masked_keeps_uniform():
     q, k, v = _mk(B, H, L, D, seed=13)
     key_mask = jnp.ones((B, L), bool)
     out = pallas_masked_attention(q, k, v, key_mask, 8.0, is_self=True)
-    expect = jnp.mean(v, axis=2, keepdims=True)
+    expect = jnp.mean(v, axis=1, keepdims=True)
     np.testing.assert_allclose(np.asarray(out),
                                np.broadcast_to(np.asarray(expect), out.shape),
                                rtol=2e-5, atol=2e-5)

@@ -120,14 +120,15 @@ def test_fully_masked_row_is_uniform_average():
     # -65504 fill => fully-masked rows softmax to uniform (attention.py:38)
     B, H, L, D = 1, 2, 8, 16
     rng = jax.random.PRNGKey(0)
-    q = jax.random.normal(rng, (B, H, L, D))
-    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D))
-    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, D))
+    # operands are [B, L, H, D] (head axis in place)
+    q = jax.random.normal(rng, (B, L, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, L, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, L, H, D))
     mask = length_key_mask(jnp.array([0]), L)
     with jax.default_matmul_precision("highest"):
         out = masked_softmax_attention(q, k, v, mask, math.sqrt(D))
     np.testing.assert_allclose(np.asarray(out[0, 0, 0]),
-                               np.asarray(v[0, 0].mean(0)), atol=1e-5)
+                               np.asarray(v[0, :, 0].mean(0)), atol=1e-5)
 
 
 def test_reports_decoder_matches_reference(ref):
