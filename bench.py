@@ -155,6 +155,22 @@ def main() -> None:
         step_flops = float(cost.get("flops", 0.0))
     except Exception:
         step_flops = 0.0
+    # XLA's cost analysis cannot see inside Pallas custom calls, so the
+    # number above undercounts once the attention/FFN kernels are fused.
+    # Compile the mathematically-equivalent all-XLA step once and use its
+    # flop count as the model-level figure for MFU.
+    model_flops = step_flops
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        try:
+            ops.configure(False)
+            xla_step = jax.jit(trainer._train_step_impl)
+            mcost = xla_step.lower(
+                trainer.state, dbatch, rng).compile().cost_analysis()
+            model_flops = float(mcost.get("flops", 0.0)) or step_flops
+        except Exception:
+            pass
+        finally:
+            ops.configure(True)
 
     # The TPU may be tunneled/time-shared: consecutive identical windows
     # have been observed to differ ~2x under external load. Take the best
@@ -175,8 +191,8 @@ def main() -> None:
     step_ms = best_dt / ITERS * 1000
 
     calibrated_tflops = _calibrate_matmul_tflops()
-    mfu = (step_flops / (best_dt / ITERS) / (calibrated_tflops * 1e12)
-           if step_flops else None)
+    mfu = (model_flops / (best_dt / ITERS) / (calibrated_tflops * 1e12)
+           if model_flops else None)
 
     denom_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_TORCH.json")
@@ -201,6 +217,7 @@ def main() -> None:
                                  / REFERENCE_GPU_ESTIMATE, 3),
         "step_ms": round(step_ms, 1),
         "step_gflops_xla": round(step_flops / 1e9, 1),
+        "step_gflops_model": round(model_flops / 1e9, 1),
         "calibrated_matmul_tflops": round(calibrated_tflops, 1),
         "mfu_vs_calibrated": round(mfu, 3) if mfu is not None else None,
         "device_kind": jax.devices()[0].device_kind,
