@@ -190,6 +190,32 @@ def main() -> None:
     samples_per_sec_per_chip = BATCH * ITERS / best_dt / n_chips
     step_ms = best_dt / ITERS * 1000
 
+    # --train-multi-k super-batches (K optimizer steps per dispatch via
+    # lax.scan, the wired 2_train default for TIE on TPU) amortize the
+    # tunnel/host dispatch latency — report the amortized rate too.
+    K = 4
+    import numpy as _np
+    kbatch = jax.tree.map(
+        lambda x: _np.broadcast_to(_np.asarray(x)[None], (K,) + _np.asarray(x).shape),
+        batch)
+    multi_ms = None
+    try:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        kbatch = jax.device_put(
+            kbatch, NamedSharding(trainer.mesh, P(None, "data")))
+        losses = trainer.train_multi(kbatch, on_device=True)
+        _ = float(losses[-1])
+        best_multi = float("inf")
+        for _ in range(WINDOWS):
+            t0 = time.perf_counter()
+            for _ in range(max(ITERS // K, 1)):
+                losses = trainer.train_multi(kbatch, on_device=True)
+            _ = float(losses[-1])
+            best_multi = min(best_multi, time.perf_counter() - t0)
+        multi_ms = best_multi / max(ITERS // K, 1) / K * 1000
+    except Exception:
+        pass
+
     calibrated_tflops = _calibrate_matmul_tflops()
     mfu = (model_flops / (best_dt / ITERS) / (calibrated_tflops * 1e12)
            if model_flops else None)
@@ -218,6 +244,10 @@ def main() -> None:
         "step_ms": round(step_ms, 1),
         "step_gflops_xla": round(step_flops / 1e9, 1),
         "step_gflops_model": round(model_flops / 1e9, 1),
+        **({"train_multi_k4_step_ms": round(multi_ms, 1),
+            "train_multi_k4_samples_per_sec_per_chip":
+                round(BATCH / (multi_ms / 1000) / n_chips, 2)}
+           if multi_ms else {}),
         "calibrated_matmul_tflops": round(calibrated_tflops, 1),
         "mfu_vs_calibrated": round(mfu, 3) if mfu is not None else None,
         "device_kind": jax.devices()[0].device_kind,
