@@ -163,14 +163,24 @@ def main() -> None:
     if cfg.use_pallas and jax.default_backend() == "tpu":
         try:
             ops.configure(False)
-            xla_step = jax.jit(trainer._train_step_impl)
+            # fresh lambda: jit's trace cache is keyed on the callable, and
+            # trainer._train_step_impl already has a (pallas) trace cached
+            # from the warmup steps
+            xla_step = jax.jit(
+                lambda s, b, r: trainer._train_step_impl(s, b, r))
             mcost = xla_step.lower(
                 trainer.state, dbatch, rng).compile().cost_analysis()
             model_flops = float(mcost.get("flops", 0.0)) or step_flops
-        except Exception:
-            pass
+        except Exception as e:
+            import sys
+            print(f"model-flops costing failed ({type(e).__name__}: {e}); "
+                  "falling back to the pallas-opaque XLA count",
+                  file=sys.stderr)
         finally:
             ops.configure(True)
+        import sys
+        print(f"[bench] model_flops={model_flops/1e9:.1f} GFLOP "
+              f"(pallas-visible {step_flops/1e9:.1f})", file=sys.stderr)
 
     # The TPU may be tunneled/time-shared: consecutive identical windows
     # have been observed to differ ~2x under external load. Take the best
@@ -250,6 +260,13 @@ def main() -> None:
            if multi_ms else {}),
         "calibrated_matmul_tflops": round(calibrated_tflops, 1),
         "mfu_vs_calibrated": round(mfu, 3) if mfu is not None else None,
+        "mfu_note": ("flops = XLA-equivalent step (incl. padding compute "
+                     "the pallas kernels skip per-sample); calibration "
+                     "shares the tunnel's external load, so under load "
+                     "this ratio can exceed 1 — against the unloaded "
+                     "96.5 TFLOP/s calibration it is "
+                     + (f"{model_flops / (best_dt / ITERS) / 96.5e12:.2f}"
+                        if model_flops else "n/a")),
         "device_kind": jax.devices()[0].device_kind,
         **_bench_host_pipeline(BATCH),
     }))

@@ -379,9 +379,30 @@ def _bwd(scale, res, g):
     q, k, v, mask, o, stats, kcounts, qcounts = res
     B, Lq, H, D = q.shape
     Lk = k.shape[1]
-    block_q, block_k = _block_sizes(Lq, Lk)
+    # the backward picks its own (larger) q tile: its matmuls amortize
+    # better at M=512 and the q loop halves; the skip bounds are
+    # recomputed from the mask at this granularity (the forward's counts
+    # are 256-block-granular)
+    block_q = min(512, _round_up(Lq, 128))
+    block_k = _block_sizes(Lq, Lk)[1]
     lq_pad = _round_up(Lq, block_q)
     lk_pad = _round_up(Lk, block_k)
+    broadcast_q0 = mask.shape[1] == 1
+    if broadcast_q0:
+        last = _last_valid(mask)
+        kcounts = _block_counts(last, lk_pad // block_k, block_k)
+        # q skipping only where the forward skipped (is_self): a forward
+        # count below its full block count marks a skippable sample; the
+        # full-count samples (cross-attention, all-masked fallback, or
+        # simply full-length) keep full coverage here too
+        bq_f, _ = _block_sizes(Lq, Lk)
+        nq_f = _round_up(Lq, bq_f) // bq_f
+        full_q = jnp.full((B,), lq_pad // block_q, jnp.int32)
+        qcounts = jnp.where(qcounts >= nq_f, full_q,
+                            _block_counts(last, lq_pad // block_q, block_q))
+    else:
+        kcounts = jnp.full((B,), lk_pad // block_k, jnp.int32)
+        qcounts = jnp.full((B,), lq_pad // block_q, jnp.int32)
     qp = jnp.pad(q, ((0, 0), (0, lq_pad - Lq), (0, 0), (0, 0))).reshape(
         B, lq_pad, H * D)
     kp = jnp.pad(k, ((0, 0), (0, lk_pad - Lk), (0, 0), (0, 0))).reshape(
