@@ -160,7 +160,22 @@ def main() -> None:
     # Compile the mathematically-equivalent all-XLA step once and use its
     # flop count as the model-level figure for MFU.
     model_flops = step_flops
-    if cfg.use_pallas and jax.default_backend() == "tpu":
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_MODEL_FLOPS.json")
+    cache_key = " ".join(argv)
+    cached = None
+    try:
+        with open(cache_path) as f:
+            c = json.load(f)
+        if c.get("config") == cache_key:
+            cached = float(c["flops"])
+    except Exception:
+        pass
+    if cached:
+        # compiling the all-XLA twin through a loaded tunnel can block for
+        # many minutes; the flop count is shape-determined, so reuse it
+        model_flops = cached
+    elif cfg.use_pallas and jax.default_backend() == "tpu":
         try:
             ops.configure(False)
             # fresh lambda: jit's trace cache is keyed on the callable, and
@@ -171,6 +186,11 @@ def main() -> None:
             mcost = xla_step.lower(
                 trainer.state, dbatch, rng).compile().cost_analysis()
             model_flops = float(mcost.get("flops", 0.0)) or step_flops
+            try:
+                with open(cache_path, "w") as f:
+                    json.dump({"config": cache_key, "flops": model_flops}, f)
+            except Exception:
+                pass
         except Exception as e:
             import sys
             print(f"model-flops costing failed ({type(e).__name__}: {e}); "
@@ -203,13 +223,19 @@ def main() -> None:
     # --train-multi-k super-batches (K optimizer steps per dispatch via
     # lax.scan, the wired 2_train default for TIE on TPU) amortize the
     # tunnel/host dispatch latency — report the amortized rate too.
-    K = 4
-    import numpy as _np
-    kbatch = jax.tree.map(
-        lambda x: _np.broadcast_to(_np.asarray(x)[None], (K,) + _np.asarray(x).shape),
-        batch)
+    # opt-in: the scanned super-batch has its own multi-minute compile on
+    # a loaded tunnel; measured 2026-08-17: 67.4 ms/step amortized (~= the
+    # single-dispatch rate — the 66 ms step dwarfs dispatch latency)
     multi_ms = None
+    K = 4 if os.environ.get("GRAFT_BENCH_MULTI") else 0
     try:
+        if not K:
+            raise RuntimeError("train-multi timing disabled")
+        import numpy as _np
+        kbatch = jax.tree.map(
+            lambda x: _np.broadcast_to(_np.asarray(x)[None],
+                                       (K,) + _np.asarray(x).shape),
+            batch)
         from jax.sharding import NamedSharding, PartitionSpec as P
         kbatch = jax.device_put(
             kbatch, NamedSharding(trainer.mesh, P(None, "data")))
