@@ -127,3 +127,23 @@ def test_remat_matches_plain_step():
     finally:
         set_remat(False)
     assert abs(l0 - l1) < 1e-5
+
+
+def test_rbg_prng_trains():
+    """--prng rbg (the TPU default) must also run on CPU: finite loss and
+    a param-update step, with the PRNG impl restored afterwards."""
+    import jax
+    from __graft_entry__ import _synthetic_batch, _tiny_cfg
+    from medical_tri_modal_pilot_tpu.models import get_model
+    from medical_tri_modal_pilot_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(8).replace(prng="rbg")
+    batch = _synthetic_batch(cfg, 8)
+    try:
+        tr = Trainer(cfg, get_model(cfg), 10, batch)
+        l0 = float(tr.train_step(batch))
+        l1 = float(tr.train_step(batch))
+        assert l0 == l0 and l1 == l1
+        assert l0 != l1   # params moved
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
