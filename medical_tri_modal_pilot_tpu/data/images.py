@@ -21,11 +21,18 @@ def equalize(img: Image.Image) -> Image.Image:
 
 
 def _resize_shorter(img: Image.Image, size: int) -> Image.Image:
+    # torchvision F.resize(int) semantics: shorter edge -> size, longer edge
+    # int-truncated (not rounded); no-op when the shorter edge already
+    # matches
     w, h = img.size
     if w <= h:
-        nw, nh = size, max(1, int(round(size * h / w)))
+        if w == size:
+            return img
+        nw, nh = size, max(1, int(size * h / w))
     else:
-        nh, nw = size, max(1, int(round(size * w / h)))
+        if h == size:
+            return img
+        nh, nw = size, max(1, int(size * w / h))
     return img.resize((nw, nh), Image.BILINEAR)
 
 

@@ -107,6 +107,10 @@ class MBTBackbone(nn.Module):
     img_stem_override: Optional[str] = None
     allow_multiimages: bool = True
     allow_resbottle: bool = True
+    # bi_vsltimg_mbt_v1.py:130 passes use_pe=[vslt_pe, True] — the single
+    # image stream gets a positional encoding there (the trimodal files
+    # use False); quirk preserved via this knob
+    img_use_pe: bool = False
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], missing_num: jnp.ndarray,
@@ -153,7 +157,7 @@ class MBTBackbone(nn.Module):
                 mask.append(False)   # single-image stack runs unmasked
             enc_inputs.append(img_tokens)
             varying.append(img_len)
-            use_pe.append(False)
+            use_pe.append(self.img_use_pe)
 
         if "txt" in mods:
             if not self.share_umse:
@@ -284,6 +288,46 @@ class TRI_MBT_V1(nn.Module):
             rmse = jnp.einsum("bm,mb->b", mix, r,
                               precision=jax.lax.Precision.HIGHEST)
         return out, rmse, None
+
+
+class BI_MBT_V1(nn.Module):
+    """bi_vslttxt_mbt_v1 / bi_vsltimg_mbt_v1: missing-selected mean of the
+    two cls VECTORS (not logits) -> LayerNorm -> (+demo) -> one shared BN
+    head (bi_vslttxt_mbt_v1.py:167-183, bi_vsltimg_mbt_v1.py). The dynamic
+    ``all_cls_stack[missing, idx_order]`` select becomes a one-hot x
+    constant (2,2) mix over {mean(vslt, other), vslt-only}.
+
+    Wiring quirks per reference file: the swin trunk runs under
+    unconditional no_grad (bi_vsltimg_mbt_v1.py forward), and the image
+    stream gets use_pe=True / mask=False there (:128-131) while the text
+    variant uses mask=True (bi_vslttxt_mbt_v1.py:94-95)."""
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, batch, missing_num, deterministic: bool = True) -> ModelOutput:
+        cfg = self.cfg
+        outputs, demo = MBTBackbone(
+            cfg,
+            img_freeze_override=True,
+            allow_multiimages=False,
+            allow_resbottle=False,
+            img_use_pe=True,
+            name="backbone")(batch, missing_num, deterministic)
+        cls0 = outputs[0][:, 0, :]
+        cls1 = outputs[1][:, 0, :]
+        W = jnp.array([[0.5, 0.5], [1.0, 0.0]], dtype=jnp.float32)
+        onehot = jax.nn.one_hot(missing_num, 2, dtype=jnp.float32)
+        mix = jnp.einsum("bk,km->bm", onehot, W,
+                         precision=jax.lax.Precision.HIGHEST
+                         ).astype(cls0.dtype)                      # [B, 2]
+        sel = mix[:, :1] * cls0 + mix[:, 1:] * cls1
+        x = _class_input(cfg, sel, demo, "after_concat")
+        rmse = None
+        if "rmse" in cfg.auxiliary_loss_type:
+            rmse = nn.Dense(1, dtype=x.dtype, name="rmse_layer")(x)[..., 0]
+        logits = ClsHead(cfg.transformer_dim, cfg.output_dim, cfg.activation,
+                         dtype=x.dtype, name="fc_list")(x, deterministic)
+        return logits[..., 0] if cfg.output_dim == 1 else logits, rmse, None
 
 
 class TRI_MBT_VFLEXIBLE(nn.Module):

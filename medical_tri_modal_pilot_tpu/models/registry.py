@@ -41,8 +41,11 @@ _REGISTRY: Dict[str, Callable] = {
     # see models.py module docstring — implemented functionally)
     "biimg_mbt_vsltcls": M.TRI_MBT_VSLTCLS,
     "bitxt_mbt_vsltcls": M.TRI_MBT_VSLTCLS,
-    "bi_vsltimg_mbt_v1": M.TRI_MBT_V1,
-    "bi_vslttxt_mbt_v1": M.TRI_MBT_V1,
+    # missing-selected cls-vector mean -> one shared head (NOT the
+    # per-modality-logit mixing of tri_mbt_v1 — the reference bimodal v1
+    # files mean the vectors before the head, bi_vslttxt_mbt_v1.py:167-172)
+    "bi_vsltimg_mbt_v1": M.BI_MBT_V1,
+    "bi_vslttxt_mbt_v1": M.BI_MBT_V1,
     "biimg_mbt_vflexible1": M.TRI_MBT_VFLEXIBLE,
     "bitxt_mbt_vflexible1": M.TRI_MBT_VFLEXIBLE,
     # concat-fusion baselines

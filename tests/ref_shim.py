@@ -38,10 +38,125 @@ def _install_stub_torchvision():
         def __call__(self, x):
             return x
 
-    for name in ["Compose", "Resize", "CenterCrop", "ToTensor", "RandomAffine",
-                 "RandomResizedCrop", "RandAugment", "Normalize"]:
+    # ---- transform pieces the reference data pipeline actually calls ----
+    # (public torchvision semantics reimplemented on PIL/torch so the
+    # reference dataset code runs as-is for golden end-to-end runs; the
+    # deterministic eval stacks — Resize/CenterCrop/ToTensor/equalize —
+    # are exact, the random train ops are faithful analogs)
+    from PIL import Image, ImageOps
+
+    class Compose:
+        def __init__(self, ts):
+            self.transforms = ts
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    class Resize:
+        """torchvision Resize: int -> shorter edge = size, longer edge
+        int-truncated; (h, w) -> exact. Bilinear."""
+        def __init__(self, size, *a, **k):
+            self.size = size
+
+        def __call__(self, img):
+            if isinstance(self.size, (tuple, list)):
+                h, w = self.size
+                return img.resize((w, h), Image.BILINEAR)
+            size = self.size
+            w, h = img.size
+            if w <= h:
+                if w == size:
+                    return img
+                nw, nh = size, max(1, int(size * h / w))
+            else:
+                if h == size:
+                    return img
+                nh, nw = size, max(1, int(size * w / h))
+            return img.resize((nw, nh), Image.BILINEAR)
+
+    class CenterCrop:
+        def __init__(self, size):
+            self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+        def __call__(self, img):
+            ch, cw = self.size
+            w, h = img.size
+            if w < cw or h < ch:
+                canvas = Image.new(img.mode, (max(w, cw), max(h, ch)), 0)
+                canvas.paste(img, ((canvas.size[0] - w) // 2,
+                                   (canvas.size[1] - h) // 2))
+                img, (w, h) = canvas, canvas.size
+            left = int(round((w - cw) / 2.0))
+            top = int(round((h - ch) / 2.0))
+            return img.crop((left, top, left + cw, top + ch))
+
+    class ToTensor:
+        def __call__(self, img):
+            import numpy as np
+            arr = np.asarray(img, dtype=np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[None]
+            else:
+                arr = arr.transpose(2, 0, 1)
+            return torch.from_numpy(arr.copy())
+
+    class RandomResizedCrop:
+        def __init__(self, size, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3), **k):
+            self.size, self.scale, self.ratio = size, scale, ratio
+
+        def __call__(self, img):
+            import math
+            import random as pyrandom
+            w, h = img.size
+            area = w * h
+            log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+            for _ in range(10):
+                target_area = area * pyrandom.uniform(*self.scale)
+                aspect = math.exp(pyrandom.uniform(*log_ratio))
+                cw = int(round(math.sqrt(target_area * aspect)))
+                ch = int(round(math.sqrt(target_area / aspect)))
+                if 0 < cw <= w and 0 < ch <= h:
+                    left = pyrandom.randint(0, w - cw)
+                    top = pyrandom.randint(0, h - ch)
+                    return img.crop((left, top, left + cw, top + ch)).resize(
+                        (self.size, self.size), Image.BILINEAR)
+            return img.resize((self.size, self.size), Image.BILINEAR)
+
+    class RandomAffine:
+        def __init__(self, degrees=0, translate=None, scale=None, shear=0, **k):
+            self.degrees, self.translate, self.scale = degrees, translate, scale
+
+        def __call__(self, img):
+            import math
+            import random as pyrandom
+            angle = math.radians(pyrandom.uniform(-self.degrees, self.degrees))
+            s = pyrandom.uniform(*self.scale) if self.scale else 1.0
+            w, h = img.size
+            tx = (pyrandom.uniform(-self.translate[0], self.translate[0]) * w
+                  if self.translate else 0.0)
+            ty = (pyrandom.uniform(-self.translate[1], self.translate[1]) * h
+                  if self.translate else 0.0)
+            cx, cy = w * 0.5, h * 0.5
+            cos_a, sin_a = math.cos(angle) / s, math.sin(angle) / s
+            a, b = cos_a, sin_a
+            c = cx - a * (cx + tx) - b * (cy + ty)
+            d, e = -sin_a, cos_a
+            f = cy - d * (cx + tx) - e * (cy + ty)
+            return img.transform((w, h), Image.AFFINE, (a, b, c, d, e, f),
+                                 Image.BILINEAR)
+
+    transforms.Compose = Compose
+    transforms.Resize = Resize
+    transforms.CenterCrop = CenterCrop
+    transforms.ToTensor = ToTensor
+    transforms.RandomResizedCrop = RandomResizedCrop
+    transforms.RandomAffine = RandomAffine
+    for name in ["RandAugment", "Normalize"]:
         setattr(transforms, name, _Dummy)
-    functional.equalize = lambda x: x
+    functional.equalize = lambda x: (ImageOps.equalize(x)
+                                     if isinstance(x, Image.Image) else x)
     transforms.functional = functional
     tv.transforms = transforms
 
