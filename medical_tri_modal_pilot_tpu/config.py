@@ -197,10 +197,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--use-pallas', type=int, default=1, choices=[0, 1],
                         help='use Pallas fused attention on TPU (XLA fallback otherwise)')
     parser.add_argument('--worker-type', type=str, default='thread',
-                        choices=['thread', 'process'],
+                        choices=['thread', 'process', 'native'],
                         help='data-loader worker pool: GIL-releasing threads '
-                             '(default) or forked processes (the reference '
-                             'DataLoader model, data_preprocess.py:89-95)')
+                             '(default), forked processes (the reference '
+                             'DataLoader model, data_preprocess.py:89-95), '
+                             'or threads + the C++ TIE batch assembler '
+                             '(native/tie_assembler.cpp) for the TIE '
+                             'window-assembly hot path')
     parser.add_argument('--debug-nans', type=int, default=0, choices=[0, 1],
                         help='enable jax_debug_nans — the TPU-native analog '
                              'of the reference\'s always-on '
@@ -232,6 +235,25 @@ def build_parser() -> argparse.ArgumentParser:
                         help='also save a "last" checkpoint every N steps (0 = per-eval only)')
     parser.add_argument('--profile-dir', type=str, default=None,
                         help='if set, write a jax.profiler trace of a few training steps here')
+    parser.add_argument('--resume', type=str, default='none',
+                        choices=['none', 'auto', 'best', 'last'],
+                        help='restart behavior: auto = discover and restore '
+                             'the newest checkpoint for this fold/seed '
+                             '(crash recovery without operator flags); '
+                             'best/last = explicit kind (equivalent to the '
+                             "reference's --checkpoint --best/--last, "
+                             '2_train.py:86-107)')
+    parser.add_argument('--img-pack', type=int, default=-1, choices=[-1, 0, 1],
+                        help='presence-pack the frozen image trunk: run swin '
+                             'only on rows that actually carry an image '
+                             '(packed to a static capacity; missing rows '
+                             'share one zero-image row). -1 = auto (on for '
+                             'missing-modality regimes with a frozen trunk)')
+    parser.add_argument('--img-pack-frac', type=float, default=0.5,
+                        help='static packed capacity as a fraction of the '
+                             'image-row count; batches with more present '
+                             'images than capacity fall back in-graph to the '
+                             'full-batch trunk (lax.cond)')
     parser.add_argument('--train-multi-k', type=int, default=0,
                         help='optimizer steps per device dispatch (lax.scan '
                              'super-batches, amortizes host->device dispatch '
@@ -360,6 +382,9 @@ class Config:
     ckpt_backend: str
     checkpoint_every: int
     profile_dir: Optional[str]
+    resume: str
+    img_pack: int
+    img_pack_frac: float
     train_multi_k: int
     # derived
     dir_root: str = "."

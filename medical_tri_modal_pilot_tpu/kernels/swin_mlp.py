@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LN_EPS = 1e-6   # flax nn.LayerNorm default (SwinBlock used flax defaults)
+LN_EPS = 1e-5   # torch nn.LayerNorm default (torchvision swin: partial(LayerNorm, eps=1e-5))
 
 
 def _round_up(x: int, m: int) -> int:

@@ -25,7 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LN_EPS = 1e-6    # flax nn.LayerNorm default (MLPStem uses flax defaults)
+LN_EPS = 1e-5    # torch nn.LayerNorm default (reference stems are torch builtins)
 
 
 def _round_up(x: int, m: int) -> int:

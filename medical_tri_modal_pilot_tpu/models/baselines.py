@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .modules import LayerNorm
+
 from ..config import Config
 from .models import ImageEncoder, ModelOutput, model_dtype
 from .swin import SwinTransformer
@@ -156,7 +158,7 @@ def _txt_vector(cfg: Config, txt, dt, scope: nn.Module):
     if cfg.berttype == "biobert":
         if txt.ndim == 3:
             txt = jnp.mean(txt, axis=1)
-        h = nn.LayerNorm(dtype=dt, name="txtnorm")(txt.astype(dt))
+        h = LayerNorm(dtype=dt, name="txtnorm")(txt.astype(dt))
         return nn.Dense(cfg.transformer_dim, dtype=dt, name="txt_embedding")(h)
     emb = nn.Embed(30000, cfg.transformer_dim, dtype=dt, name="txt_embedding")(
         txt.astype(jnp.int32))

@@ -262,7 +262,10 @@ def load_reference_checkpoint(cfg: Config, variables: Dict, path: str) -> Dict:
     ``variables`` (an init()-produced dict with 'params'/'batch_stats')."""
     import torch
 
-    payload = torch.load(path, map_location="cpu")
+    # weights_only=False: reference checkpoints (logger.py save_ckpt) pickle
+    # numpy scalars alongside the state dict, which torch>=2.6's safe loader
+    # rejects; .pth conversion is an operator-initiated trusted import.
+    payload = torch.load(path, map_location="cpu", weights_only=False)
     sd = payload["model"] if isinstance(payload, dict) and "model" in payload \
         else payload
     sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}

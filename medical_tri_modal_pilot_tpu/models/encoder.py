@@ -16,7 +16,7 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .modules import (StdLayerNorm, TransformerEncoderLayer, encoder_layer, length_key_mask,
+from .modules import (StdLayerNorm, TransformerEncoderLayer, encoder_layer, length_key_mask, LayerNorm,
                       positional_encoding)
 
 
@@ -57,7 +57,7 @@ class TransformerEncoder(nn.Module):
             key_mask = length_key_mask(input_lengths, x.shape[1])
         if self.d_input != self.d_model:
             x = nn.Dense(self.d_model, dtype=self.dtype, name="linear_in")(x)
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm_in")(x)
+        h = LayerNorm(dtype=self.dtype, name="layer_norm_in")(x)
         if self.use_pe:
             h = h + positional_encoding(x.shape[1], self.d_model, self.dtype)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)

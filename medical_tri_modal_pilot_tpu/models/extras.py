@@ -28,7 +28,7 @@ from ..config import Config
 from ..constants import MASK_FILL_VALUE
 from .encoder import TransformerEncoder
 from .heads import ClsHead
-from .modules import (MultiHeadAttention, StdLayerNorm, FeedForward,
+from .modules import (MultiHeadAttention, StdLayerNorm, FeedForward, LayerNorm,
                       length_key_mask, positional_encoding, xavier_dense)
 
 
@@ -203,7 +203,7 @@ class FEATURE_TEMPORAL_V1(nn.Module):
                              (F, 1, D))
         bias = self.param("feat_bias", nn.initializers.zeros, (F, D))
         tokens = x[..., None] * kernels[None, None, :, 0, :] + bias
-        tokens = nn.relu(nn.LayerNorm(dtype=dt, name="stem_ln")(tokens))
+        tokens = nn.relu(LayerNorm(dtype=dt, name="stem_ln")(tokens))
         age = nn.Dense(D, dtype=dt, name="age_encoder")(
             batch["static"][:, 1:2].astype(dt))
         gen = nn.Dense(D, dtype=dt, name="gender_encoder")(
@@ -225,7 +225,7 @@ class FEATURE_TEMPORAL_V1(nn.Module):
             name="temporal_transformer")(
                 step_feats, batch["input_length"].astype(jnp.int32) + 1,
                 deterministic)
-        h = nn.LayerNorm(dtype=dt, name="final_ln")(temp_out[:, 0])
+        h = LayerNorm(dtype=dt, name="final_ln")(temp_out[:, 0])
         logits = ClsHead(D, cfg.output_dim, cfg.activation, dtype=dt,
                          name="fc_list")(h, deterministic)[..., 0]
         return logits, None, None

@@ -6,6 +6,8 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .modules import LayerNorm
+
 
 class ClsHead(nn.Module):
     """Linear -> BatchNorm -> ReLU -> Linear (fc_list). BatchNorm uses batch
@@ -46,6 +48,6 @@ class ClsHeadLN(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         h = nn.Dense(self.d_model, dtype=self.dtype, name="fc1")(x)
-        h = nn.LayerNorm(dtype=self.dtype, name="ln")(h)
+        h = LayerNorm(dtype=self.dtype, name="ln")(h)
         h = nn.relu(h) if self.activation == "relu" else nn.selu(h)
         return nn.Dense(self.output_dim, dtype=self.dtype, name="fc2")(h)

@@ -35,7 +35,7 @@ from .heads import ClsHead
 from .maxvit import MaxViT
 from .mbt import MBTFusion
 from .models import ModelOutput, model_dtype
-from .modules import (CrossmodalTransformerEncoderLayer, MLPStem, encoder_layer,
+from .modules import (CrossmodalTransformerEncoderLayer, MLPStem, encoder_layer, LayerNorm,
                       TransformerEncoderLayer, length_key_mask,
                       positional_encoding)
 from .resnet import ResNet
@@ -176,7 +176,7 @@ class T_TRANSFORMER(nn.Module):
             name="transformer_encoder")(
                 tokens, batch["input_length"].astype(jnp.int32) + 1,
                 deterministic)
-        x = nn.LayerNorm(dtype=dt, name="final_ln")(enc[:, 0])
+        x = LayerNorm(dtype=dt, name="final_ln")(enc[:, 0])
         return _head(cfg, x, deterministic), None, None
 
 
@@ -200,7 +200,7 @@ class F_TRANSFORMER(nn.Module):
             d_ff=cfg.transformer_dim * 4, dropout=cfg.dropout,
             use_pe=False, classification=True, mask=False, dtype=dt,
             name="transformer_encoder")(tokens, None, deterministic)
-        x = nn.LayerNorm(dtype=dt, name="final_ln")(enc[:, 0])
+        x = LayerNorm(dtype=dt, name="final_ln")(enc[:, 0])
         return _head(cfg, x, deterministic), None, None
 
 
@@ -233,7 +233,7 @@ class FT_TRANSFORMER(nn.Module):
                 f_tokens, None, deterministic)
         feats = jnp.concatenate([t_enc[:, 0], f_enc[:, 0]], axis=-1)
         feats = nn.Dense(cfg.transformer_dim, dtype=dt, name="merge")(feats)
-        x = nn.LayerNorm(dtype=dt, name="final_ln")(feats)
+        x = LayerNorm(dtype=dt, name="final_ln")(feats)
         return _head(cfg, x, deterministic), None, None
 
 
@@ -258,7 +258,7 @@ class GRUD_T_TRANSFORMER(nn.Module):
             classification=True, dtype=dt, name="transformer_encoder")(
                 hs, batch["input_length"].astype(jnp.int32) + 1,
                 deterministic)
-        xcls = nn.LayerNorm(dtype=dt, name="final_ln")(enc[:, 0])
+        xcls = LayerNorm(dtype=dt, name="final_ln")(enc[:, 0])
         return _head(cfg, xcls, deterministic), None, None
 
 
@@ -333,7 +333,7 @@ class EARLYFUSION(nn.Module):
             + tokens, axis=1)
         key_mask = ~jnp.concatenate(
             [jnp.ones((B, 1), dtype=bool)] + valid, axis=1)
-        h = nn.LayerNorm(dtype=dt, name="layer_norm_in")(x)
+        h = LayerNorm(dtype=dt, name="layer_norm_in")(x)
         h = h + positional_encoding(h.shape[1], cfg.transformer_dim, dt)
         h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
         for i in range(cfg.transformer_num_layers):
@@ -341,7 +341,7 @@ class EARLYFUSION(nn.Module):
                 cfg.transformer_dim, cfg.transformer_num_head,
                 cfg.transformer_dim * 4, cfg.dropout, dt,
                 name=f"layers_{i}")(h, key_mask, deterministic)
-        x = nn.LayerNorm(dtype=dt, name="final_ln")(h[:, 0])
+        x = LayerNorm(dtype=dt, name="final_ln")(h[:, 0])
         return _head(cfg, x, deterministic), None, None
 
 
@@ -403,7 +403,7 @@ class MIDFUSION(nn.Module):
         v = _VsltFeature(cfg, self.vslt_kind, dt, name="vslt_feature")(
             batch, deterministic)
         o = _other_feature(cfg, batch, dt, deterministic)
-        x = nn.LayerNorm(dtype=dt, name="final_ln")(
+        x = LayerNorm(dtype=dt, name="final_ln")(
             jnp.concatenate([v, o], axis=-1))
         x = nn.Dense(cfg.transformer_dim, dtype=dt, name="merge")(x)
         return _head(cfg, nn.relu(x), deterministic), None, None
@@ -423,9 +423,9 @@ class LATEFUSION(nn.Module):
         v = _VsltFeature(cfg, self.vslt_kind, dt, name="vslt_feature")(
             batch, deterministic)
         o = _other_feature(cfg, batch, dt, deterministic)
-        lv = _head(cfg, nn.LayerNorm(dtype=dt, name="v_ln")(v),
+        lv = _head(cfg, LayerNorm(dtype=dt, name="v_ln")(v),
                    deterministic, name="fc_vslt")
-        lo = _head(cfg, nn.LayerNorm(dtype=dt, name="o_ln")(o),
+        lo = _head(cfg, LayerNorm(dtype=dt, name="o_ln")(o),
                    deterministic, name="fc_other")
         return (lv + lo) / 2, None, None
 
@@ -471,7 +471,7 @@ class CROSS_TRANSFORMER(nn.Module):
         o_feat = jnp.sum(o * ow, 1) / jnp.maximum(jnp.sum(ow, 1), 1.0)
         x = nn.Dense(cfg.transformer_dim, dtype=dt, name="merge")(
             jnp.concatenate([v_feat, o_feat], axis=-1))
-        x = nn.LayerNorm(dtype=dt, name="final_ln")(nn.relu(x))
+        x = LayerNorm(dtype=dt, name="final_ln")(nn.relu(x))
         return _head(cfg, x, deterministic), None, None
 
 
@@ -573,7 +573,7 @@ class AUXCPC(nn.Module):
                 dropout=cfg.dropout, pe_maxlen=600, txt_idx=1,
                 use_pe=(True, True), mask=(True, True), dtype=dt,
                 name="c_t_model")
-            ln_cat = nn.LayerNorm(dtype=dt, name="layer_norms_after_concat")
+            ln_cat = LayerNorm(dtype=dt, name="layer_norms_after_concat")
 
             def fuse(v_toks, v_len, first: bool):
                 outs = mbt([v_toks, t_tokens],
@@ -585,7 +585,7 @@ class AUXCPC(nn.Module):
                               True))
         else:
             cls = self.param("cls_tokens", nn.initializers.zeros, (1, 1, D))
-            ln_in = nn.LayerNorm(dtype=dt, name="layer_norm_in")
+            ln_in = LayerNorm(dtype=dt, name="layer_norm_in")
             layers = [encoder_layer(
                 D, cfg.transformer_num_head, D * 4, cfg.dropout, dt,
                 name=f"layers_{i}") for i in range(cfg.transformer_num_layers)]
@@ -604,7 +604,7 @@ class AUXCPC(nn.Module):
 
             c_t = fuse(z_in, v_valid, t_valid)
             if self.post_ln or self.wiring == "ct":
-                c_t = nn.LayerNorm(
+                c_t = LayerNorm(
                     dtype=dt, name="layer_norms_after_concat")(c_t)
 
         logits = _head(cfg, c_t, deterministic)
@@ -618,13 +618,13 @@ class AUXCPC(nn.Module):
                 if self.fusion == "mbt":
                     mirror = fuse(enc_samples,
                                   jnp.full((B,), T, jnp.int32), False)
-                    mirror = nn.LayerNorm(
+                    mirror = LayerNorm(
                         dtype=dt,
                         name="layer_norms_after_concat_mirror")(mirror)
                 else:
                     mirror = fuse(enc_samples,
                                   jnp.ones((B, T), dtype=bool), t_valid)
-                    mirror = nn.LayerNorm(
+                    mirror = LayerNorm(
                         dtype=dt,
                         name="layer_norms_after_concat_mirror")(mirror)
                 m32 = mirror.astype(jnp.float32)

@@ -15,6 +15,8 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .modules import LayerNorm
+
 
 def _window(x, size: int, grid: bool):
     """[B, H, W, C] -> [B*n, size*size, C]; grid=True partitions by stride
@@ -91,14 +93,14 @@ class _WindowAttention(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         B, H, W, C = x.shape
         shortcut = x
-        y = nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+        y = LayerNorm(dtype=self.dtype, name="ln")(x)
         y = _window(y, self.window, self.grid)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype, name="attn")(
                 y, y, deterministic=deterministic)
         y = _unwindow(y, self.window, self.grid, H, W)
         x = shortcut + y
-        y = nn.LayerNorm(dtype=self.dtype, name="mlp_ln")(x)
+        y = LayerNorm(dtype=self.dtype, name="mlp_ln")(x)
         y = nn.Dense(4 * C, dtype=self.dtype, name="mlp1")(y)
         y = nn.gelu(y)
         y = nn.Dense(C, dtype=self.dtype, name="mlp2")(y)

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .modules import (StdLayerNorm, TransformerEncoderLayer, encoder_layer, length_key_mask,
+from .modules import (StdLayerNorm, TransformerEncoderLayer, encoder_layer, length_key_mask, LayerNorm,
                       positional_encoding)
 
 
@@ -121,7 +121,7 @@ class MBTFusion(nn.Module):
                 b_key_masks.append(None)
             # torch nn.LayerNorm in the reference (mbt_encoder.py:683) — NOT
             # the custom std-based LayerNorm used inside encoder-layer prenorms
-            h = nn.LayerNorm(dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
+            h = LayerNorm(dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
             if self.use_pe[m]:
                 h = h + positional_encoding(L, D, self.dtype)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -312,7 +312,7 @@ class MultitokenMBTFusion(nn.Module):
                 b_key_masks.append(None)
             # torch nn.LayerNorm in the reference (mbt_encoder.py:683) — NOT
             # the custom std-based LayerNorm used inside encoder-layer prenorms
-            h = nn.LayerNorm(dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
+            h = LayerNorm(dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
             if self.use_pe[m]:
                 h = h + positional_encoding(L, D, self.dtype)
             xs.append(nn.Dropout(self.dropout)(h, deterministic=deterministic))
@@ -418,7 +418,7 @@ class MultitokenMBTVSLTMAINFusion(nn.Module):
                 b_key_masks.append(None)
             # torch nn.LayerNorm in the reference (mbt_encoder.py:683) — NOT
             # the custom std-based LayerNorm used inside encoder-layer prenorms
-            h = nn.LayerNorm(dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
+            h = LayerNorm(dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
             if self.use_pe[m]:
                 h = h + positional_encoding(L, D, self.dtype)
             xs.append(nn.Dropout(self.dropout)(h, deterministic=deterministic))

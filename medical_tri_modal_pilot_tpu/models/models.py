@@ -34,7 +34,7 @@ from ..constants import IMG_FEATURE_ID, TXT_FEATURE_ID
 from .encoder import MTFusion, TransformerEncoder
 from .heads import ClsHead, ClsHeadLN
 from .mbt import MBTFusion
-from .modules import MLPStem
+from .modules import MLPStem, LayerNorm
 from .swin import PatchEmbed, SwinTransformer
 from .umse import UMSE
 from .vit import VisionTransformer
@@ -62,8 +62,40 @@ class ImageEncoder(nn.Module):
     stem_override: Optional[str] = None
     allow_multiimages: bool = True
 
+    def _packed_trunk(self, swin, img, present, deterministic):
+        """Presence-packed frozen trunk (--img-pack). In missing-modality
+        regimes most rows carry a zero image (reference loads images only
+        for type codes 0/5, dataset_new.py:677-689), yet the reference runs
+        the full swin over every row (tri_mbt_vsltcls.py:205-214). Numerically
+        EXACT skip: swin is frozen+eval here (no RNG, no grad), so every
+        missing row's features equal swin(0) — run the trunk over the
+        present rows packed to a static capacity plus one shared zero row,
+        and gather features back per row. Batches whose present count
+        overflows the capacity take the full-batch branch of an in-graph
+        lax.cond instead (both branches static shapes, one executes)."""
+        cfg = self.cfg
+        rows = img.shape[0]
+        cap = max(1, min(rows - 1,
+                         int(-(-rows * cfg.img_pack_frac // 1))))
+        present = present.astype(bool).reshape(rows)
+        n_present = jnp.sum(present.astype(jnp.int32))
+        order = jnp.argsort(jnp.logical_not(present), stable=True)
+        inv = jnp.argsort(order)
+
+        def _full(mdl, x):
+            return mdl(x, True)
+
+        def _packed(mdl, x):
+            packed = jnp.concatenate(
+                [jnp.take(x, order[:cap], axis=0), jnp.zeros_like(x[:1])], 0)
+            f = mdl(packed, True)
+            src = jnp.where(present & (inv < cap), inv, cap)
+            return jnp.take(f, src, axis=0)
+
+        return nn.cond(n_present <= cap, _packed, _full, swin, img)
+
     @nn.compact
-    def __call__(self, img, deterministic: bool = True):
+    def __call__(self, img, deterministic: bool = True, present=None):
         cfg = self.cfg
         if self.stem_override == "patch":
             return PatchEmbed(img_size=cfg.image_size, patch_size=16,
@@ -83,9 +115,16 @@ class ImageEncoder(nn.Module):
             # a frozen trunk runs in eval mode (the reference constructor
             # calls img_encoder.eval(), tri_mbt_vsltcls.py:104), so
             # stochastic depth only fires on the trainable-trunk path
-            feats = SwinTransformer(in_channels=1, dtype=self.dtype,
-                                    name="img_encoder")(
-                                        img, deterministic or freeze)
+            swin = SwinTransformer(in_channels=1, dtype=self.dtype,
+                                   name="img_encoder")
+            pack = (freeze and present is not None
+                    and (cfg.img_pack == 1
+                         or (cfg.img_pack == -1
+                             and "missing" in cfg.modality_inclusion)))
+            if pack:
+                feats = self._packed_trunk(swin, img, present, deterministic)
+            else:
+                feats = swin(img, deterministic or freeze)
             if freeze:
                 feats = jax.lax.stop_gradient(feats)
             B = feats.shape[0]
@@ -134,11 +173,17 @@ class MBTBackbone(nn.Module):
                 img_umse = UMSE(cfg.transformer_dim, cfg.vslt_type, cfg.berttype,
                                 cfg.imgtxt_time, cfg.vslt_len, dtype=dt,
                                 name="umse_img")
+            if multiimages:
+                # per-slot presence: absent slots carry img_time == 10
+                # (dataset_new.py:736, data/dataset.py:85-86)
+                img_present = batch["img_time"].reshape(-1) != 10.0
+            else:
+                img_present = batch["missing"][:, 1] == 0.0
             img_tokens = ImageEncoder(
                 cfg, dtype=dt, freeze_override=self.img_freeze_override,
                 stem_override=self.img_stem_override,
                 allow_multiimages=self.allow_multiimages, name="img_enc")(
-                    batch["img"], deterministic)
+                    batch["img"], deterministic, present=img_present)
             img_time = batch["img_time"]
             if cfg.imgtxt_time == 1:
                 stems = umse if self.share_umse else img_umse
@@ -201,7 +246,7 @@ class MBTBackbone(nn.Module):
 
 
 def _class_input(cfg: Config, cls_vec, demo, name_scope):
-    h = nn.LayerNorm(dtype=cls_vec.dtype, name=f"{name_scope}_ln")(cls_vec)
+    h = LayerNorm(dtype=cls_vec.dtype, name=f"{name_scope}_ln")(cls_vec)
     if cfg.vslt_type != "QIE":
         h = jnp.concatenate([h, demo.astype(h.dtype)], axis=-1)
     return h
@@ -260,7 +305,7 @@ class TRI_MBT_V1(nn.Module):
             allow_resbottle=(v == 1),
             name="backbone")(batch, missing_num, deterministic)
         stack = jnp.stack([o[:, 0, :] for o in outputs])          # [M, B, D]
-        stack = nn.LayerNorm(dtype=stack.dtype, name="after_concat_ln")(stack)
+        stack = LayerNorm(dtype=stack.dtype, name="after_concat_ln")(stack)
         if cfg.vslt_type != "QIE":
             demo_rep = jnp.broadcast_to(demo[None], (stack.shape[0],) + demo.shape)
             stack = jnp.concatenate([stack, demo_rep.astype(stack.dtype)], axis=-1)
@@ -349,7 +394,7 @@ class TRI_MBT_VFLEXIBLE(nn.Module):
         outputs, demo = MBTBackbone(cfg, name="backbone")(
             batch, missing_num, deterministic)
         stack = jnp.stack([o[:, 0, :] for o in outputs])          # [3, B, D]
-        stack = nn.LayerNorm(dtype=stack.dtype, name="after_concat_ln")(stack)
+        stack = LayerNorm(dtype=stack.dtype, name="after_concat_ln")(stack)
         if cfg.vslt_type != "QIE":
             demo_rep = jnp.broadcast_to(demo[None], (3,) + demo.shape)
             stack = jnp.concatenate([stack, demo_rep.astype(stack.dtype)], axis=-1)
@@ -392,7 +437,7 @@ class TRI_MBT_VNOSHNOAVGTR(nn.Module):
         outputs, demo = MBTBackbone(cfg, name="backbone")(
             batch, missing_num, deterministic)
         stack = jnp.stack([o[:, 0, :] for o in outputs])
-        stack = nn.LayerNorm(dtype=stack.dtype, name="after_concat_ln")(stack)
+        stack = LayerNorm(dtype=stack.dtype, name="after_concat_ln")(stack)
         if cfg.vslt_type != "QIE":
             demo_rep = jnp.broadcast_to(demo[None], (3,) + demo.shape)
             stack = jnp.concatenate([stack, demo_rep.astype(stack.dtype)], axis=-1)
@@ -578,7 +623,7 @@ class TRI_MBT_VMULTI(_MultitokenBase):
         vt = (outputs[0][:, 2] + outputs[2][:, 1]) / 2
         v = outputs[0][:, 3]
         final = jnp.stack([tri, vi, vt, v])                   # [4, B, D]
-        final = nn.LayerNorm(dtype=final.dtype, name="after_concat_ln")(final)
+        final = LayerNorm(dtype=final.dtype, name="after_concat_ln")(final)
         demo_rep = jnp.broadcast_to(demo[None], (4,) + demo.shape)
         final = jnp.concatenate([final, demo_rep.astype(final.dtype)], axis=-1)
         return self._four_heads(final, deterministic), None, None
@@ -601,7 +646,7 @@ class TRI_MBT_VMULTIVSLT(_MultitokenBase):
         fusion, enc_inputs, varying, demo = self._embed(batch, deterministic)
         outputs = fusion(enc_inputs, varying, missing_num, deterministic)
         final = jnp.stack([outputs[0][:, i] for i in range(4)])
-        final = nn.LayerNorm(dtype=final.dtype, name="after_concat_ln")(final)
+        final = LayerNorm(dtype=final.dtype, name="after_concat_ln")(final)
         demo_rep = jnp.broadcast_to(demo[None], (4,) + demo.shape)
         final = jnp.concatenate([final, demo_rep.astype(final.dtype)], axis=-1)
         return self._four_heads(final, deterministic), None, None

@@ -31,6 +31,20 @@ xavier_dense = lambda feats, name=None, dtype=jnp.float32: nn.Dense(
     bias_init=nn.initializers.zeros, name=name, dtype=dtype)
 
 
+class LayerNorm(nn.LayerNorm):
+    """``nn.LayerNorm`` with torch's default epsilon.
+
+    flax defaults to 1e-6 where torch.nn.LayerNorm uses 1e-5. On ordinary
+    activations the difference is invisible (~1e-4), but on near-zero-
+    variance vectors the epsilon dominates the rsqrt: the barely-trained
+    ``cls_tokens`` (var ~1e-8) normalizes 3.16x too large under 1e-6,
+    shifting every downstream logit (found via tools/golden_parity.py).
+    Every reference site that uses the *torch builtin* LN maps to this
+    class; sites using the reference's custom std-based LN
+    (transformer/module.py:130, eps 1e-6) map to StdLayerNorm below."""
+    epsilon: float = 1e-5
+
+
 class StdLayerNorm(nn.Module):
     """(x - mean) / (std + eps) * gamma + beta, std with Bessel correction.
 
@@ -312,5 +326,5 @@ class MLPStem(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = nn.Dense(self.d_model, dtype=self.dtype)(x)
-        h = nn.LayerNorm(dtype=self.dtype)(h)
+        h = LayerNorm(dtype=self.dtype)(h)
         return nn.relu(h)

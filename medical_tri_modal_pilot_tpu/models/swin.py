@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .modules import LayerNorm
+
 
 
 def _rel_position_index(window: int) -> np.ndarray:
@@ -168,7 +170,7 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         sd_on = (not deterministic) and self.sd_prob > 0.0
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = WindowAttention(self.dim, self.num_heads, self.window, self.shift,
                             self.dtype, name="attn")(h)
         if sd_on:
@@ -201,7 +203,7 @@ class PatchMerging(nn.Module):
         B, H, W, C = x.shape
         x = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(B, H // 2, W // 2, 4 * C)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                         name="reduction")(x)
 
@@ -228,7 +230,7 @@ class SwinTransformer(nn.Module):
         x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size),
                     dtype=self.dtype, name="patch_embed")(x.astype(self.dtype))
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="patch_norm")(x)
         dim = self.embed_dim
         total_blocks = sum(self.depths)
         block_id = 0
@@ -245,7 +247,7 @@ class SwinTransformer(nn.Module):
             if si < len(self.depths) - 1:
                 x = PatchMerging(dim, dtype=self.dtype, name=f"merge{si}")(x)
                 dim *= 2
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return LayerNorm(dtype=self.dtype, name="norm")(x)
 
 
 class PatchEmbed(nn.Module):

@@ -47,3 +47,9 @@ def _isolate_test_index_cache(tmp_path, monkeypatch):
     (reference contract) — keep them inside the test tmpdir."""
     monkeypatch.chdir(tmp_path)
     (tmp_path / "data").mkdir(exist_ok=True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end regressions "
+        "(golden parity, learning-sanity)")

@@ -254,6 +254,7 @@ def _install_stub_torchvision():
 
     utils_mod = types.ModuleType("torchvision.utils")
     utils_mod._log_api_usage_once = lambda *a, **k: None
+    utils_mod.make_grid = lambda t, *a, **k: t  # logger.py:25 imports it
 
     models = types.ModuleType("torchvision.models")
     api = types.ModuleType("torchvision.models._api")
@@ -366,12 +367,94 @@ def _install_stub_monai():
     sys.modules["monai.networks.blocks.patchembedding"] = patchembedding
 
 
+def _install_stub_torchmetrics():
+    """torchmetrics isn't installed; the reference Evaluator
+    (builder/utils/metrics.py:20-22) uses binary AUROC / AveragePrecision /
+    F1Score whose math equals the sklearn equivalents — back the stub with
+    those so the reference's own metric path executes unmodified."""
+    if "torchmetrics" in sys.modules:
+        return
+    import numpy as np
+    import torch
+    from sklearn.metrics import (average_precision_score, f1_score as _sk_f1,
+                                 roc_auc_score)
+
+    def _np(t):
+        return np.asarray(t.detach().cpu(), dtype=np.float64).reshape(-1)
+
+    class _Binary:
+        def __init__(self, *a, task="binary", **k):
+            pass
+
+        def __call__(self, preds, target):
+            raise NotImplementedError
+
+    class AUROC(_Binary):
+        def __call__(self, preds, target):
+            return torch.tensor(roc_auc_score(_np(target), _np(preds)))
+
+    class AveragePrecision(_Binary):
+        def __call__(self, preds, target):
+            return torch.tensor(
+                average_precision_score(_np(target), _np(preds)))
+
+    class F1Score(_Binary):
+        def __call__(self, preds, target):
+            return torch.tensor(
+                _sk_f1(_np(target), (_np(preds) >= 0.5).astype(int)))
+
+    class ROC(_Binary):
+        pass
+
+    def f1_score(preds, target, task="binary", threshold=0.5):
+        return torch.tensor(
+            _sk_f1(_np(target), (_np(preds) >= threshold).astype(int)))
+
+    tm = types.ModuleType("torchmetrics")
+    tm.AUROC, tm.AveragePrecision, tm.ROC, tm.F1Score = (
+        AUROC, AveragePrecision, ROC, F1Score)
+    cls_mod = types.ModuleType("torchmetrics.classification")
+    for name in ("MulticlassAUROC", "MulticlassAveragePrecision",
+                 "MulticlassF1Score"):
+        setattr(cls_mod, name, _Binary)
+    fn_mod = types.ModuleType("torchmetrics.functional")
+    fn_mod.f1_score = f1_score
+    tm.classification = cls_mod
+    tm.functional = fn_mod
+    sys.modules["torchmetrics"] = tm
+    sys.modules["torchmetrics.classification"] = cls_mod
+    sys.modules["torchmetrics.functional"] = fn_mod
+
+
+def patch_torch_for_cpu_run():
+    """Patches that let the reference's CUDA-assuming train/eval flow
+    (hard ``.cuda()`` calls, HalfTensor input casts under GPU autocast —
+    builder/trainer/trainer.py:77,122; 2_train.py:164) execute on CPU
+    torch. HalfTensor becomes FloatTensor: CPU has no autocast to remarry
+    half inputs with fp32 weights, and golden runs compare fp32-vs-fp32."""
+    import torch
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.HalfTensor = torch.FloatTensor
+    torch.autograd.set_detect_anomaly = lambda *a, **k: None
+    # torch>=2.6 defaults weights_only=True, rejecting the numpy scalars the
+    # reference pickles into its own checkpoints (2_train.py:312 loads a
+    # ckpt this very run just wrote)
+    _load = torch.load
+
+    def _load_unsafe(*a, **k):
+        k.setdefault("weights_only", False)
+        return _load(*a, **k)
+
+    torch.load = _load_unsafe
+
+
 def import_reference(argv):
     """(Re)import reference control/config + dataset modules with the given
     CLI argv. Returns the reference package namespace dict."""
     sys.modules.setdefault("pickle5", pickle)
     _install_stub_torchvision()
     _install_stub_monai()
+    _install_stub_torchmetrics()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
 

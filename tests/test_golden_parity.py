@@ -1,0 +1,37 @@
+"""Run-level golden parity: the reference's own train->best-ckpt->test flow
+(torch CPU via ref_shim) vs this framework on identical eval indices and the
+converted checkpoint (tools/golden_parity.py). The BASELINE.json north star
+is AUROC parity +-0.002; the per-sample probability comparison here is the
+non-degenerate form of it on sample_data (18 eval samples).
+
+The full 4-config matrix lives in GOLDEN_PARITY.json (regenerate with
+``python tools/golden_parity.py``); this test pins the fastest config so CI
+catches regressions in data parity, model numerics (e.g. the LayerNorm
+epsilon, models/modules.py LayerNorm docstring), or checkpoint conversion.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_golden_parity_vslt(tmp_path):
+    out = tmp_path / "golden.json"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "golden_parity.py"),
+         "--configs", "vslt", "--workdir", str(tmp_path / "wd"),
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=1800,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    payload = json.loads(out.read_text())
+    row = payload["rows"][0]
+    assert "error" not in row, row
+    assert row["targets_match"], row
+    assert row["d_auroc"] <= 0.002, row
+    assert row["max_abs_dprob"] <= 5e-3, row
