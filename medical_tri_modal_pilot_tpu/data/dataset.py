@@ -75,6 +75,31 @@ class _Base:
         self.image_size = cfg.image_size
         self.is_event_task = cfg.output_type in MULTIPLE_TASKS
         self._vslt_keep = ~np.array(cfg.vslt_mask)
+        self._native = None
+        self._native_ready = False
+
+    @property
+    def native(self):
+        """C++ TIE batch assembler (--worker-type native): built lazily from
+        this split's stays on first item. TIE-only — the carryforward grid
+        and the pretrain sequence generator (auxiliary_loss_input) keep the
+        numpy path. Falls back silently if native/build.sh hasn't run."""
+        if self._native_ready:
+            return self._native
+        self._native_ready = True
+        cfg = self.cfg
+        if (cfg.worker_type == "native" and cfg.vslt_type != "carryforward"
+                and cfg.auxiliary_loss_input is None):
+            from .native import TIEBatchAssembler, build_record_cache, load_library
+            if load_library() is not None:
+                paths = sorted({s.pkl_path for s in self.index.samples})
+                adjust_key = ("train-missing" in cfg.modality_inclusion
+                              if self.phase == "train"
+                              else "test-missing" in cfg.modality_inclusion)
+                self._native = TIEBatchAssembler(
+                    build_record_cache(paths), cfg.tie_len,
+                    cfg.realtime == 1, adjust_key, n_threads=1)
+        return self._native
 
     # -- modality branches --------------------------------------------------
 
@@ -164,21 +189,28 @@ class _Base:
         gender = 1.0 if raw["gender"] == "M" else 0.0
         static = np.array([gender, raw["age"]], dtype=np.float32)
 
-        data = _normalized_data(raw)
-        mask, delta = raw["mask"], raw["delta"]
         old_key = selected_key
+        orig_length = rand_length
+        native = self.native if cfg.vslt_type != "carryforward" else None
 
         time_data_list = list(raw["data_in_time"][selected_key - rand_length + 1:
                                                   selected_key + 1])
-        data_seq, mask_seq, delta_seq, input_length = W.sequence_generator(
-            data, mask, delta, selected_key, rand_length, cfg.window_size)
         f_indices = np.zeros(36, dtype=np.float32)
-        if cfg.auxiliary_loss_input is not None:
-            data_seq, mask_seq, delta_seq, input_length, f_indices = (
-                W.sequence_generator_pretrain(data, mask, delta, selected_key,
-                                              rand_length, cfg.window_size))
-            f_indices = f_indices.astype(np.float32)
+        if native is None:
+            data = _normalized_data(raw)
+            mask, delta = raw["mask"], raw["delta"]
+            data_seq, mask_seq, delta_seq, input_length = W.sequence_generator(
+                data, mask, delta, selected_key, rand_length, cfg.window_size)
+            if cfg.auxiliary_loss_input is not None:
+                data_seq, mask_seq, delta_seq, input_length, f_indices = (
+                    W.sequence_generator_pretrain(data, mask, delta, selected_key,
+                                                  rand_length, cfg.window_size))
+                f_indices = f_indices.astype(np.float32)
 
+        # trim_nones still runs host-side even on the native path: its
+        # late_nones / key shift feed the target relabeling and the
+        # realtime txt_time below (the C++ redoes the same trim internally
+        # for the stream itself)
         adjust_key = ("train-missing" in cfg.modality_inclusion
                       if self.phase == "train"
                       else "test-missing" in cfg.modality_inclusion)
@@ -194,6 +226,9 @@ class _Base:
             vslt[0, :n] = data_seq[:, keep]
             vslt[1, :n] = mask_seq[:, keep]
             vslt[2, :n] = delta_seq[:, keep]
+        elif native is not None:
+            vslt, input_length, min_time = native.assemble_one(
+                pkl_path, old_key, orig_length)
         else:
             vslt, input_length, min_time = W.assemble_tie(
                 data_seq, delta_seq, time_data_list, selected_key,

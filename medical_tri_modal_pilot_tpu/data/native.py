@@ -36,7 +36,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         f32p, f32p, f32p, i32p, i64p, i64p, i32p,
         i32p, i32p, i32p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        f32p, i32p, ctypes.c_int,
+        f32p, i32p, f32p, ctypes.c_int,
     ]
     lib.assemble_tie_batch.restype = None
     return lib
@@ -120,9 +120,12 @@ class TIEBatchAssembler:
 
     def assemble(self, stay_idx: np.ndarray, keys: np.ndarray,
                  lengths: np.ndarray):
+        """Returns (vslt [B, tie_len, 3], input_length [B],
+        min_time [B] — the non-realtime anchor, 0.0 under realtime)."""
         B = len(stay_idx)
         out = np.zeros((B, self.tie_len, 3), np.float32)
         out_len = np.zeros(B, np.int32)
+        out_min_time = np.zeros(B, np.float32)
         c = self.cache
         if self.lib is not None:
             self.lib.assemble_tie_batch(
@@ -136,9 +139,25 @@ class TIEBatchAssembler:
                 np.ascontiguousarray(keys.astype(np.int32)),
                 np.ascontiguousarray(lengths.astype(np.int32)),
                 B, self.tie_len, int(self.realtime), int(self.adjust_key),
-                out, out_len, self.n_threads)
-            return out, out_len
+                out, out_len, out_min_time, self.n_threads)
+            return out, out_len, out_min_time
+
         # numpy fallback — same semantics via window.py
+        return self._assemble_numpy(stay_idx, keys, lengths, out, out_len,
+                                    out_min_time)
+
+    def assemble_one(self, pkl_path: str, key: int, length: int):
+        """Single-sample entry for the dataset hot path (--worker-type
+        native): TIE assembly without re-touching the unpickled stay. The
+        ctypes call releases the GIL, so thread workers scale."""
+        idx = np.array([self.cache.stay_index(pkl_path)], np.int32)
+        out, n, mt = self.assemble(idx, np.array([key]), np.array([length]))
+        return out[0], int(n[0]), float(mt[0])
+
+    def _assemble_numpy(self, stay_idx, keys, lengths, out, out_len,
+                        out_min_time):
+        c = self.cache
+        B = len(stay_idx)
         for b in range(B):
             st = int(stay_idx[b])
             g0 = c.grid_off[st]
@@ -157,8 +176,8 @@ class TIEBatchAssembler:
                 delta.astype(np.float64), key, length, max(length, 24))
             hours, length2, kdelta, _late = W.trim_nones(hours, length,
                                                          self.adjust_key)
-            tie, n, _mt = W.assemble_tie(data_seq, delta_seq, hours,
-                                         key + kdelta, length2, self.tie_len,
-                                         self.realtime)
-            out[b], out_len[b] = tie, n
-        return out, out_len
+            tie, n, mt = W.assemble_tie(data_seq, delta_seq, hours,
+                                        key + kdelta, length2, self.tie_len,
+                                        self.realtime)
+            out[b], out_len[b], out_min_time[b] = tie, n, mt
+        return out, out_len, out_min_time

@@ -77,6 +77,8 @@ class BatchLoader:
             pool = ctx.Pool(self.num_workers, initializer=_worker_init)
             return pool, lambda p, idx: p.map(_worker_get, idx), \
                 lambda p: (p.terminate(), p.join())
+        # "thread" and "native" both use threads: on the native path the
+        # dataset's TIE assembly is a GIL-releasing C++ call (data/native.py)
         pool = ThreadPoolExecutor(self.num_workers)
         return pool, \
             lambda p, idx: list(p.map(self.dataset.__getitem__, idx)), \

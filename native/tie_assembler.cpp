@@ -31,9 +31,12 @@ struct StayView {
   int32_t T;
 };
 
-// Assemble one sample into out[tie_len * 3]; returns the input length.
+// Assemble one sample into out[tie_len * 3]; returns the input length and
+// writes the non-realtime time anchor (window.py assemble_tie min_time,
+// needed by the image-time arithmetic in dataset.py) to *out_min_time.
 int assemble_one(const StayView& s, int key, int length, int tie_len,
-                 bool realtime, bool adjust_key, float* out) {
+                 bool realtime, bool adjust_key, float* out,
+                 float* out_min_time) {
   // trim empty (None) edge hours — an hour h is empty when
   // hour_off[h+1] == hour_off[h] (window.py:trim_nones)
   int start = key - length + 1;             // original window start
@@ -95,6 +98,7 @@ int assemble_one(const StayView& s, int key, int length, int tie_len,
       min_time = std::min(min_time, s.stream[e * 3 + 0]);
     if (min_time > 1e29f) min_time = 0.f;
   }
+  *out_min_time = realtime ? 0.f : min_time;
   const float shift = realtime ? anchor_key : min_time;
 
   for (int f = 0; f < N_FEATURES && n_out < tie_len; ++f) {
@@ -122,7 +126,7 @@ extern "C" {
 //   stream:     all event rows; hour_off at stay_hour_off[i]
 // keys/lengths: per-sample window selection (already sampled in Python).
 // out_vslt: [B, tie_len, 3] f32 zero-initialized by caller.
-// out_len:  [B] int32.
+// out_len:  [B] int32.  out_min_time: [B] f32 (0 under realtime).
 void assemble_tie_batch(
     const float* data, const float* delta, const float* stream,
     const int32_t* hour_off,
@@ -130,7 +134,7 @@ void assemble_tie_batch(
     const int32_t* stay_T,
     const int32_t* sample_stay, const int32_t* keys, const int32_t* lengths,
     int batch, int tie_len, int realtime, int adjust_key,
-    float* out_vslt, int32_t* out_len, int n_threads) {
+    float* out_vslt, int32_t* out_len, float* out_min_time, int n_threads) {
   auto work = [&](int b0, int b1) {
     for (int b = b0; b < b1; ++b) {
       int st = sample_stay[b];
@@ -142,7 +146,8 @@ void assemble_tie_batch(
           stay_T[st]};
       out_len[b] = assemble_one(view, keys[b], lengths[b], tie_len,
                                 realtime != 0, adjust_key != 0,
-                                out_vslt + static_cast<int64_t>(b) * tie_len * 3);
+                                out_vslt + static_cast<int64_t>(b) * tie_len * 3,
+                                out_min_time + b);
     }
   };
   if (n_threads <= 1 || batch <= 1) {

@@ -57,9 +57,39 @@ def test_native_matches_python(paths, realtime):
             lengths.append(length)
             expected.append(_python_reference(p, key, length, 64, realtime, True))
     asm = TIEBatchAssembler(cache, 64, realtime, adjust_key=True)
-    out, out_len = asm.assemble(np.array(stay_idx), np.array(keys),
-                                np.array(lengths))
-    for b, (exp_tie, exp_len, _mt) in enumerate(expected):
+    out, out_len, out_mt = asm.assemble(np.array(stay_idx), np.array(keys),
+                                        np.array(lengths))
+    for b, (exp_tie, exp_len, exp_mt) in enumerate(expected):
         assert out_len[b] == exp_len, (b, out_len[b], exp_len)
         np.testing.assert_allclose(out[b], exp_tie, atol=2e-5,
                                    err_msg=f"sample {b}")
+        np.testing.assert_allclose(out_mt[b], exp_mt, atol=2e-5,
+                                   err_msg=f"min_time {b}")
+
+
+def test_native_dataset_path_matches_python():
+    """--worker-type native produces bit-equal samples to the numpy path
+    through the full EvalDataset (vslt + targets + img/txt side channels)."""
+    assert load_library() is not None, "run native/build.sh first"
+    from medical_tri_modal_pilot_tpu.data.dataset import EvalDataset
+    from medical_tri_modal_pilot_tpu.data.indexer import (build_eval_index,
+                                                          search_walk)
+    argv = ["--input-types", "vslt", "--output-type", "intubation",
+            "--model", "unimodal_transformer", "--vslt-type", "TIE",
+            "--modality-inclusion", "train-missing_test-missing",
+            "--test-data-path", "/root/reference/data/sample_data/test"]
+    cfg_py = parse_config(argv + ["--worker-type", "thread"])
+    cfg_nat = parse_config(argv + ["--worker-type", "native"])
+    paths = search_walk(cfg_py.test_data_path, ".pkl")
+    idx = build_eval_index(cfg_py, paths, "test")
+    ds_py = EvalDataset(cfg_py, idx, "test", seed=0)
+    ds_nat = EvalDataset(cfg_nat, idx, "test", seed=0)
+    assert len(ds_py) > 0
+    for i in range(len(ds_py)):
+        a, b = ds_py[i], ds_nat[i]
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k], np.float64), np.asarray(b[k], np.float64),
+                atol=2e-5, err_msg=f"sample {i} field {k}")
+    assert ds_nat.native is not None and ds_nat.native.lib is not None
