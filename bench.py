@@ -59,56 +59,94 @@ def _calibrate_matmul_tflops() -> float:
 
 def _bench_host_pipeline(batch: int) -> dict:
     """Throughput of the real host input pipeline (pkl decode -> window
-    slice -> C++ TIE assembly -> image/text fetch -> batch stack) over
-    synthetic fixtures with the reference schema — the number the
-    device-resident measurement deliberately excludes. Returns {} on any
-    failure so the device benchmark always reports."""
+    slice -> TIE assembly -> image/text fetch -> batch stack) over a
+    1000-stay synthetic fixture set with the reference schema — the number
+    the device-resident measurement deliberately excludes.
+
+    Measures the first full epoch cold (every pkl decode and jpeg load
+    misses) and subsequent epochs warm, for the pure-python thread workers
+    and for --worker-type native (threads + the C++ TIE assembler,
+    data/native.py). Returns {} on any failure so the device benchmark
+    always reports."""
     import subprocess
     import sys
     try:
         root = os.path.dirname(os.path.abspath(__file__))
-        fix = "/tmp/graft_bench_synth_v1"
+        fix = "/tmp/graft_bench_synth_1k"
         if not os.path.isdir(os.path.join(fix, "train")):
             subprocess.run(
                 [sys.executable,
                  os.path.join(root, "tools/make_synthetic_fixtures.py"),
-                 "--out", fix, "--n-train", "96", "--n-test", "8",
+                 "--out", fix, "--n-train", "1000", "--n-test", "16",
                  "--seed", "5"],
-                check=True, capture_output=True, timeout=300)
+                check=True, capture_output=True, timeout=600)
         from medical_tri_modal_pilot_tpu.config import parse_config
         from medical_tri_modal_pilot_tpu.data.pipeline import get_data_loaders
-        cfg = parse_config([
-            "--train-data-path", os.path.join(fix, "train"),
-            "--test-data-path", os.path.join(fix, "test"),
-            "--image-data-path", os.path.join(fix, "images/"),
-            "--biobert-path", os.path.join(fix, "mimic4_embeddings.h5"),
-            "--input-types", "vslt_img_txt", "--output-type", "intubation",
-            "--modality-inclusion", "train-missing_test-missing",
-            "--model", "tri_mbt_vsltcls", "--batch-size", str(batch),
-            "--TIE-len", "1000", "--num-workers", "4",
-        ])
-        train_loader, _, _ = get_data_loaders(cfg)
-        n_batches = max(len(train_loader), 1)
-        for _ in iter(train_loader):   # warm caches (pkl decode, images)
-            pass
-        best = float("inf")
-        for _ in range(3):
+
+        def run(worker_type: str) -> dict:
+            cfg = parse_config([
+                "--train-data-path", os.path.join(fix, "train"),
+                "--test-data-path", os.path.join(fix, "test"),
+                "--image-data-path", os.path.join(fix, "images/"),
+                "--biobert-path", os.path.join(fix, "mimic4_embeddings.h5"),
+                "--input-types", "vslt_img_txt", "--output-type", "intubation",
+                "--modality-inclusion", "train-missing_test-missing",
+                "--model", "tri_mbt_vsltcls", "--batch-size", str(batch),
+                "--TIE-len", "1000", "--num-workers", "4",
+                "--worker-type", worker_type,
+            ])
+            train_loader, _, _ = get_data_loaders(cfg)
             t0 = time.perf_counter()
             seen = 0
-            for b in iter(train_loader):
+            for b in iter(train_loader):   # cold: pkl/jpeg caches empty
                 seen += len(b["target"])
-            best = min(best, (time.perf_counter() - t0) / max(seen, 1))
-        host_sps = 1.0 / best
-        return {"host_pipeline_samples_per_sec": round(host_sps, 1),
-                "host_pipeline_note": (
-                    f"real loader over {n_batches} synthetic-fixture "
-                    "batches (pkl+jpeg+h5, C++ TIE assembler, 4 thread "
-                    f"workers on a {os.cpu_count()}-core host); training "
-                    "overlaps this with device compute via device_prefetch, "
-                    "so e2e throughput ~= min(host, device); production "
-                    "hosts have more cores per chip")}
+            cold = seen / (time.perf_counter() - t0)
+            best = 0.0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                seen = 0
+                for b in iter(train_loader):
+                    seen += len(b["target"])
+                best = max(best, seen / (time.perf_counter() - t0))
+            return {"cold": round(cold, 1), "warm": round(best, 1),
+                    "n_batches": len(train_loader)}
+
+        res = {wt: run(wt) for wt in ("thread", "native")}
+        chosen = "native" if res["native"]["warm"] >= res["thread"]["warm"] \
+            else "thread"
+        return {
+            "host_pipeline_samples_per_sec": res[chosen]["warm"],
+            "host_pipeline_cold_samples_per_sec": res[chosen]["cold"],
+            "host_pipeline_by_worker": res,
+            "host_pipeline_note": (
+                f"real loader, 1000-stay synthetic fixtures "
+                f"({res[chosen]['n_batches']} batches/epoch of {batch}), "
+                f"pkl+jpeg+h5; measured worker types: thread = pure-python "
+                f"window assembly, native = threads + C++ TIE assembler "
+                f"(data/native.py); reported rate is worker type "
+                f"'{chosen}', warm epoch (cold = first epoch, every cache "
+                f"missing) on a {os.cpu_count()}-core host; training "
+                "overlaps host with device compute via device_prefetch, so "
+                "e2e ~= min(host, device)")}
     except Exception as e:   # pragma: no cover - best-effort diagnostics
         return {"host_pipeline_error": f"{type(e).__name__}: {e}"}
+
+
+def _verify_kernels() -> dict:
+    """Compiled pallas-vs-XLA parity (fwd+bwd) on the benchmark backend —
+    interpret-mode CPU tests can't catch Mosaic-compiled divergence, so
+    every bench run re-checks on the real chip (tools/verify_kernels_tpu)."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from verify_kernels_tpu import verify_all
+        v = verify_all()
+        return {"kernel_parity_pass": v["pass"],
+                "kernel_parity_max_err": v["max_err"],
+                "kernel_parity_backend": v["backend"],
+                "kernel_parity_cases": len(v["errors"])}
+    except Exception as e:   # pragma: no cover
+        return {"kernel_parity_error": f"{type(e).__name__}: {e}"}
 
 
 def main() -> None:
@@ -294,6 +332,7 @@ def main() -> None:
                      + (f"{model_flops / (best_dt / ITERS) / 96.5e12:.2f}"
                         if model_flops else "n/a")),
         "device_kind": jax.devices()[0].device_kind,
+        **_verify_kernels(),
         **_bench_host_pipeline(BATCH),
     }))
 
