@@ -1,24 +1,187 @@
 """Compute-op dispatch: selects the Pallas fused kernels or the XLA
-reference implementations for the model hot loops."""
+reference implementations for the model hot loops.
+
+Multi-chip: a ``pallas_call`` is an opaque custom call XLA's SPMD
+partitioner cannot split — left bare, every kernel operand is ALL-GATHERED
+onto each device (measured: 19 all-gathers for one attention on an 8-way
+data mesh). ``configure(mesh=...)`` therefore wraps each kernel in
+``shard_map`` so it runs on the local shard:
+
+  * flash attention   in/out [B, L, H, Dh] -> P(data, None, model, None)
+                      (heads are embarrassingly parallel — the natural
+                      tensor-parallel split; no collectives inside)
+  * fused LN-FFN      [B, L, C] -> P(data); per-shard dropout seeds are
+                      decorrelated by folding in axis_index. Under
+                      --mp-size > 1 the FFN keeps the plain-XLA path so
+                      SPMD partitions its matmuls over 'model' (the fused
+                      kernel would force the w1/w2 shards back together).
+  * swin window attn  [I, N, C] -> P(data) on the window-instance dim
+  * swin MLP          [R, C]   -> P(data)
+  * UMSE stem         [B, L, 3]-> P(data)
+
+Every wrapper falls back to the unwrapped kernel when the leading dim does
+not divide the mesh axis (e.g. the presence-packed swin trunk's cap+1
+rows) — correct, just not partitioned.
+"""
 from __future__ import annotations
+
+from typing import Optional
 
 from ..models import modules as _modules
 from ..models import swin as _swin
 from ..models import umse as _umse
 
 
-def configure(use_pallas: bool) -> None:
+def _wrap_pallas_for_mesh(mesh):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..kernels.attention import pallas_masked_attention
+    from ..kernels.ffn import pallas_ffn
+    from ..kernels.swin_attention import pallas_window_attention
+    from ..kernels.swin_mlp import pallas_swin_mlp
+    from ..kernels.umse import pallas_umse
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    dp = mesh.shape[DATA_AXIS]
+    mp = mesh.shape.get(MODEL_AXIS, 1)
+
+    def attention(q, k, v, key_mask, scale, is_self=False):
+        B, _, H, _ = q.shape
+        if B % dp != 0 or (mp > 1 and H % mp != 0):
+            return pallas_masked_attention(q, k, v, key_mask, scale, is_self)
+        hax = MODEL_AXIS if mp > 1 else None
+        qs = P(DATA_AXIS, None, hax, None)
+        if key_mask is None:
+            key_mask = jnp.zeros((B, k.shape[1]), bool)
+        ms = P(DATA_AXIS, None) if key_mask.ndim == 2 \
+            else P(DATA_AXIS, None, None)
+
+        def body(q, k, v, m):
+            return pallas_masked_attention(q, k, v, m, scale, is_self)
+
+        return shard_map(body, mesh=mesh, in_specs=(qs, qs, qs, ms),
+                         out_specs=qs, check_rep=False)(q, k, v, key_mask)
+
+    def ffn(x, gamma, beta, w1, b1, w2, b2, *, p, deterministic, seed):
+        if x.shape[0] % dp != 0:
+            return pallas_ffn(x, gamma, beta, w1, b1, w2, b2, p=p,
+                              deterministic=deterministic, seed=seed)
+        if seed is None:
+            seed = jnp.zeros(2, jnp.int32)
+        xs = P(*([DATA_AXIS] + [None] * (x.ndim - 1)))
+
+        def body(x, gamma, beta, w1, b1, w2, b2, seed):
+            # decorrelate in-kernel dropout across data shards
+            seed = seed + jax.lax.axis_index(DATA_AXIS)
+            return pallas_ffn(x, gamma, beta, w1, b1, w2, b2, p=p,
+                              deterministic=deterministic, seed=seed)
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(xs, P(None), P(None), P(None, None), P(None),
+                      P(None, None), P(None), P(None)),
+            out_specs=xs, check_rep=False)(
+                x, gamma, beta, w1, b1, w2, b2, seed)
+
+    def window_attention(xw, wqkv, bqkv, wproj, bproj, bias, smask,
+                         num_heads):
+        M = 1 if smask is None else smask.shape[0]
+        # instance i uses smask[i % M]: splitting I over dp keeps the
+        # modular indexing aligned only when the per-shard count is a
+        # multiple of M (always true for whole images per shard)
+        if xw.shape[0] % (dp * M) != 0:
+            return pallas_window_attention(xw, wqkv, bqkv, wproj, bproj,
+                                           bias, smask, num_heads)
+        xs = P(DATA_AXIS, None, None)
+
+        def body(xw, wqkv, bqkv, wproj, bproj, bias, smask):
+            return pallas_window_attention(xw, wqkv, bqkv, wproj, bproj,
+                                           bias, smask, num_heads)
+
+        if smask is None:
+            def body2(xw, wqkv, bqkv, wproj, bproj, bias):
+                return pallas_window_attention(xw, wqkv, bqkv, wproj, bproj,
+                                               bias, None, num_heads)
+            return shard_map(
+                body2, mesh=mesh,
+                in_specs=(xs, P(None, None), P(None), P(None, None), P(None),
+                          P(None, None, None)),
+                out_specs=xs, check_rep=False)(
+                    xw, wqkv, bqkv, wproj, bproj, bias)
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(xs, P(None, None), P(None), P(None, None), P(None),
+                      P(None, None, None), P(None, None, None)),
+            out_specs=xs, check_rep=False)(
+                xw, wqkv, bqkv, wproj, bproj, bias, smask)
+
+    def swin_mlp(x, scale, bias, w1, b1, w2, b2):
+        if x.shape[0] % dp != 0:
+            return pallas_swin_mlp(x, scale, bias, w1, b1, w2, b2)
+        xs = P(DATA_AXIS, None)
+        return shard_map(
+            pallas_swin_mlp, mesh=mesh,
+            in_specs=(xs, P(None), P(None), P(None, None), P(None),
+                      P(None, None), P(None)),
+            out_specs=xs, check_rep=False)(x, scale, bias, w1, b1, w2, b2)
+
+    def umse(x, wv, bv, sv, bbv, wt, bt, st, bbt, feat_emb, dtype):
+        if x.shape[0] % dp != 0:
+            return pallas_umse(x, wv, bv, sv, bbv, wt, bt, st, bbt,
+                               feat_emb, dtype)
+        xs = P(DATA_AXIS, None, None)
+
+        def body(x, wv, bv, sv, bbv, wt, bt, st, bbt, feat_emb):
+            return pallas_umse(x, wv, bv, sv, bbv, wt, bt, st, bbt,
+                               feat_emb, dtype)
+
+        w2 = P(None, None)
+        w1 = P(None)
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(xs, w2, w1, w1, w1, w2, w1, w1, w1, w2),
+            out_specs=xs, check_rep=False)(
+                x, wv, bv, sv, bbv, wt, bt, st, bbt, feat_emb)
+
+    return attention, ffn, window_attention, swin_mlp, umse
+
+
+def configure(use_pallas: bool, mesh=None) -> None:
+    """Select kernel implementations. ``mesh``: when given and it has more
+    than one device, pallas kernels are shard_map-wrapped so SPMD never
+    all-gathers their operands (module docstring)."""
     if use_pallas:
         from ..kernels.attention import pallas_masked_attention
         from ..kernels.ffn import pallas_ffn
         from ..kernels.swin_attention import pallas_window_attention
         from ..kernels.swin_mlp import pallas_swin_mlp
         from ..kernels.umse import pallas_umse
-        _modules.set_attention_impl(pallas_masked_attention)
-        _modules.set_ffn_impl(pallas_ffn)
-        _swin.set_window_attention_impl(pallas_window_attention)
-        _swin.set_swin_mlp_impl(pallas_swin_mlp)
-        _umse.set_umse_impl(pallas_umse)
+        from ..parallel.mesh import MODEL_AXIS
+
+        multi = mesh is not None and mesh.devices.size > 1
+        if multi:
+            attention, ffn, window_attention, swin_mlp, umse = \
+                _wrap_pallas_for_mesh(mesh)
+            _modules.set_attention_impl(attention)
+            if mesh.shape.get(MODEL_AXIS, 1) > 1:
+                # plain XLA FFN: SPMD shards its matmuls over 'model'
+                # (parallel/mesh._tp_spec); the fused kernel would force
+                # the w1/w2 shards back together
+                _modules.set_ffn_impl(None)
+            else:
+                _modules.set_ffn_impl(ffn)
+            _swin.set_window_attention_impl(window_attention)
+            _swin.set_swin_mlp_impl(swin_mlp)
+            _umse.set_umse_impl(umse)
+        else:
+            _modules.set_attention_impl(pallas_masked_attention)
+            _modules.set_ffn_impl(pallas_ffn)
+            _swin.set_window_attention_impl(pallas_window_attention)
+            _swin.set_swin_mlp_impl(pallas_swin_mlp)
+            _umse.set_umse_impl(pallas_umse)
     else:
         from ..kernels.swin_attention import xla_window_attention
         from ..kernels.swin_mlp import xla_swin_mlp

@@ -230,8 +230,6 @@ class Trainer:
     def __init__(self, cfg: Config, model, iters_per_epoch: int,
                  sample_batch: Dict[str, np.ndarray], seed: int = 0,
                  eval_only: bool = False):
-        from .. import ops
-        ops.configure(bool(cfg.use_pallas) and jax.default_backend() == "tpu")
         from ..models.modules import set_remat
         set_remat(bool(getattr(cfg, "remat", 0)) and not eval_only)
         self.cfg = cfg
@@ -239,6 +237,11 @@ class Trainer:
         self.eval_only = eval_only
         self.mesh = make_mesh(cfg.dp_size, cfg.batch_size,
                               getattr(cfg, "mp_size", 0))
+        from .. import ops
+        # mesh-aware: on a multi-device mesh the kernels are shard_map
+        # wrapped so SPMD never all-gathers their operands (ops docstring)
+        ops.configure(bool(cfg.use_pallas) and jax.default_backend() == "tpu",
+                      mesh=self.mesh)
         self.schedule = build_schedule(cfg, max(iters_per_epoch, 1))
         from ..models.registry import frozen_img_trunk
         self.tx = None if eval_only else build_optimizer(
