@@ -90,17 +90,39 @@ def main() -> None:
                           seed=seed_cfg.seed)
 
         start_epoch = 1
-        if seed_cfg.checkpoint:
-            kind = "last" if seed_cfg.last else "best"
-            path = ckpt_path(seed_cfg.dir_result, seed_cfg.project_name, kind,
-                             k_indx, seed_cfg.seed)
-            if ckpt_exists(path):
-                payload = load_checkpoint_any(seed_cfg.ckpt_backend, path)
-                trainer.state = restore_into_state(trainer.state, payload)
-                logger.best_auc = payload["score"]
-                start_epoch = payload["epoch"]
-
         iteration = 0
+        resume = getattr(seed_cfg, "resume", "none")
+        restore_path = None
+        if resume == "auto":
+            # crash recovery without operator flags (SURVEY §5): restore the
+            # newest checkpoint for this fold/seed — 'last' carries the
+            # step-granular async saves, 'best' the per-eval promotions;
+            # newest by optimizer step wins
+            cands = []
+            for kind in ("last", "best"):
+                p = ckpt_path(seed_cfg.dir_result, seed_cfg.project_name,
+                              kind, k_indx, seed_cfg.seed)
+                if ckpt_exists(p):
+                    pay = load_checkpoint_any(seed_cfg.ckpt_backend, p)
+                    cands.append((int(pay.get("step", 0)), p, pay))
+            if cands:
+                _, restore_path, payload = max(cands, key=lambda c: c[0])
+        elif resume in ("best", "last") or seed_cfg.checkpoint:
+            kind = resume if resume in ("best", "last") else \
+                ("last" if seed_cfg.last else "best")
+            p = ckpt_path(seed_cfg.dir_result, seed_cfg.project_name, kind,
+                          k_indx, seed_cfg.seed)
+            if ckpt_exists(p):
+                payload = load_checkpoint_any(seed_cfg.ckpt_backend, p)
+                restore_path = p
+        if restore_path is not None:
+            trainer.state = restore_into_state(trainer.state, payload)
+            logger.best_auc = payload["score"]
+            logger.best_score = payload["score"]
+            start_epoch = payload["epoch"]
+            iteration = int(payload.get("last_step", 0))
+            print(f"resumed from {restore_path} "
+                  f"(epoch {start_epoch}, iteration {iteration})")
         t_start = time.time()
         async_ckpt = AsyncCheckpointer()
         step_ckpt_path = ckpt_path(seed_cfg.dir_result,
