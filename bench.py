@@ -175,6 +175,19 @@ def main() -> None:
     ops.configure(bool(cfg.use_pallas) and jax.default_backend() == "tpu")
     model = get_model(cfg)
     batch = _synthetic_batch(cfg, BATCH)
+    # realistic train-missing image mix: most ICU stay windows carry no CXR
+    # (reference loads images only for type codes 0/5, dataset_new.py:677);
+    # 25% present is the modeled rate. The frozen swin trunk is presence-
+    # packed (--img-pack auto, models/models.py): its compute is set by the
+    # STATIC packed capacity ceil(B * img_pack_frac) + 1, not by the draw.
+    import numpy as _np
+    _r = _np.random.default_rng(7)
+    img_present = _r.random(BATCH) < IMG_PRESENT_FRAC
+    batch["missing"][:, 1] = 1.0 - img_present
+    batch["img"] = (batch["img"] *
+                    img_present[:, None, None, None]).astype(_np.float32)
+    batch["img_time"] = _np.where(img_present, batch["img_time"],
+                                  -1.0).astype(_np.float32)
     trainer = Trainer(cfg, model, iters_per_epoch=100, sample_batch=batch)
     # measure device throughput: ship the batch once (the host input
     # pipeline is asynchronous in training and benchmarked separately)

@@ -107,6 +107,12 @@ class UMSE(nn.Module):
         demographic = jnp.stack([age, gen], axis=1).astype(self.dtype)
         demo = self.ie_demo(demographic)
         if self.vslt_type == "carryforward":
+            if x.ndim == 4:
+                # dataset ships the [B, 3(data,mask,delta), T, F] stack;
+                # the reference trainer feeds vslt_enc the DATA channel
+                # only (trainer.py:40-44 data = train_x[0];
+                # tri_mbt_vsltcls.py:180 vslt_enc(x))
+                x = x[:, 0]
             return self.vslt_enc(x.astype(self.dtype)), demo
         wv, bv, sv, bbv = self.ie_vslt()
         wt, bt, st, bbt = self.ie_time()

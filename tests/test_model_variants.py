@@ -138,3 +138,20 @@ def test_v2_rmse_mixing_present_v1_absent():
     _, _, o2 = _init_and_apply(cfg2, batch, missing_num)
     assert o1[1] is None      # v1 forward returns output2=None (ref :282)
     assert o2[1] is not None and o2[1].shape == (2,)
+
+
+def test_flagship_carryforward_forward():
+    """carryforward flagship: vslt_enc consumes the DATA channel of the
+    [B, 3, T, F] stack (reference trainer.py:40-44 passes train_x[0];
+    regression for the r3 4-D concat crash)."""
+    cfg = _cfg("tri_mbt_vsltcls", **{"--vslt-type": "carryforward"})
+    B = 2
+    batch = _batch(cfg, B)
+    rng = np.random.default_rng(3)
+    batch["vslt"] = rng.uniform(
+        0, 1, (B, 3, cfg.window_size, cfg.vslt_len)).astype(np.float32)
+    batch["input_length"] = np.array([cfg.window_size] * B, np.int32)
+    logits, rmse, aux = _init_and_apply(
+        cfg, batch, jnp.zeros(B, jnp.int32))[2]
+    assert logits.shape == (B,)
+    assert np.all(np.isfinite(np.asarray(logits)))
