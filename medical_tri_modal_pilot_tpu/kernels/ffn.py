@@ -78,37 +78,50 @@ def _keep_mask(shape, q: float):
     return (bits ^ np.int32(-2147483648)) < thr_s
 
 
-def _fwd_kernel(seed_ref, x_ref, g_ref, bt_ref, w1_ref, b1_ref, w2_ref,
-                b2_ref, y_ref, *, p: float, training: bool, n: int):
+def _fwd_kernel(seed_ref, valid_ref, x_ref, g_ref, bt_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, y_ref, *, p: float, training: bool, n: int):
     r = pl.program_id(0)
-    x = x_ref[...]
-    dt = x.dtype
-    xf = x.astype(jnp.float32)
-    ln, _, _, _, _, _ = _ln_f32(xf, g_ref[0].astype(jnp.float32),
-                                bt_ref[0].astype(jnp.float32), n)
-    ln = ln.astype(dt)
-    h = jax.lax.dot_general(ln, w1_ref[...].astype(dt),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    h = jnp.maximum(h.astype(dt) + b1_ref[0].astype(dt), 0)
-    if training and p > 0.0:
-        q = 1.0 - p
-        _seed_block(seed_ref, r)
-        keep1 = _keep_mask(h.shape, q)
-        h = jnp.where(keep1, h / jnp.asarray(q, dt), jnp.zeros_like(h))
-    z = jax.lax.dot_general(h.astype(dt), w2_ref[...].astype(dt),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    z = z.astype(dt) + b2_ref[0].astype(dt)
-    if training and p > 0.0:
-        keep2 = _keep_mask(z.shape, q)
-        z = jnp.where(keep2, z / jnp.asarray(q, dt), jnp.zeros_like(z))
-    y_ref[...] = x + z
+
+    # per-sample row-block skip: blocks whose rows all lie beyond their
+    # sample's valid length pass the residual stream through untouched —
+    # padded rows are row-local here and masked as keys everywhere
+    # downstream, so their FFN output is never read (and their cotangents
+    # are zero)
+    @pl.when(valid_ref[r] == 0)
+    def _skip():
+        y_ref[...] = x_ref[...]
+
+    @pl.when(valid_ref[r] != 0)
+    def _compute():
+        x = x_ref[...]
+        dt = x.dtype
+        xf = x.astype(jnp.float32)
+        ln, _, _, _, _, _ = _ln_f32(xf, g_ref[0].astype(jnp.float32),
+                                    bt_ref[0].astype(jnp.float32), n)
+        ln = ln.astype(dt)
+        h = jax.lax.dot_general(ln, w1_ref[...].astype(dt),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = jnp.maximum(h.astype(dt) + b1_ref[0].astype(dt), 0)
+        if training and p > 0.0:
+            q = 1.0 - p
+            _seed_block(seed_ref, r)
+            keep1 = _keep_mask(h.shape, q)
+            h = jnp.where(keep1, h / jnp.asarray(q, dt), jnp.zeros_like(h))
+        z = jax.lax.dot_general(h.astype(dt), w2_ref[...].astype(dt),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        z = z.astype(dt) + b2_ref[0].astype(dt)
+        if training and p > 0.0:
+            keep2 = _keep_mask(z.shape, q)
+            z = jnp.where(keep2, z / jnp.asarray(q, dt), jnp.zeros_like(z))
+        y_ref[...] = x + z
 
 
-def _bwd_kernel(seed_ref, x_ref, g_ref, bt_ref, w1_ref, b1_ref, w2_ref,
-                b2_ref, dy_ref, dx_ref, dg_ref, dbt_ref, dw1_ref, db1_ref,
-                dw2_ref, db2_ref, *, p: float, training: bool, n: int):
+def _bwd_kernel(seed_ref, valid_ref, x_ref, g_ref, bt_ref, w1_ref,
+                b1_ref, w2_ref, b2_ref, dy_ref, dx_ref, dg_ref, dbt_ref,
+                dw1_ref, db1_ref, dw2_ref, db2_ref, *, p: float,
+                training: bool, n: int):
     r = pl.program_id(0)
 
     @pl.when(r == 0)
@@ -120,6 +133,23 @@ def _bwd_kernel(seed_ref, x_ref, g_ref, bt_ref, w1_ref, b1_ref, w2_ref,
         dw2_ref[...] = jnp.zeros_like(dw2_ref[...])
         db2_ref[...] = jnp.zeros_like(db2_ref[...])
 
+    # skipped block: the forward passed the residual through (y = x), so
+    # dx = dy and no weight-gradient contribution (cotangents of padded
+    # rows are zero anyway — nothing downstream reads them)
+    @pl.when(valid_ref[r] == 0)
+    def _skip():
+        dx_ref[...] = dy_ref[...]
+
+    @pl.when(valid_ref[r] != 0)
+    def _compute():
+        _bwd_block(seed_ref, r, x_ref, g_ref, bt_ref, w1_ref, b1_ref, w2_ref,
+                   b2_ref, dy_ref, dx_ref, dg_ref, dbt_ref, dw1_ref, db1_ref,
+                   dw2_ref, db2_ref, p=p, training=training, n=n)
+
+
+def _bwd_block(seed_ref, r, x_ref, g_ref, bt_ref, w1_ref, b1_ref, w2_ref,
+               b2_ref, dy_ref, dx_ref, dg_ref, dbt_ref, dw1_ref, db1_ref,
+               dw2_ref, db2_ref, *, p: float, training: bool, n: int):
     x = x_ref[...]
     dt = x.dtype
     gamma = g_ref[0].astype(jnp.float32)
@@ -213,7 +243,21 @@ def dropout_masks(R: int, F: int, C: int, seed, p: float):
     return k1[:R] != 0, k2[:R] != 0
 
 
-def _call_fwd(x2, gamma, beta, w1, b1, w2, b2, seed, p, training):
+def _block_valid_flags(R: int, rp: int, block_valid):
+    """[rp/BLOCK_R] int32 flags; None -> all real blocks valid (tail pad
+    blocks are always skipped — their rows are sliced off by the caller)."""
+    nb = rp // BLOCK_R
+    if block_valid is None:
+        nreal = (R + BLOCK_R - 1) // BLOCK_R
+        return jnp.concatenate([
+            jnp.ones((nreal,), jnp.int32),
+            jnp.zeros((nb - nreal,), jnp.int32)])
+    bv = block_valid.reshape(-1).astype(jnp.int32)
+    return jnp.concatenate(
+        [bv, jnp.zeros((nb - bv.shape[0],), jnp.int32)])
+
+
+def _call_fwd(x2, gamma, beta, w1, b1, w2, b2, seed, valid, p, training):
     R, C = x2.shape
     F = w1.shape[1]
     rp = _round_up(R, BLOCK_R)
@@ -222,39 +266,39 @@ def _call_fwd(x2, gamma, beta, w1, b1, w2, b2, seed, p, training):
     y = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(rp // BLOCK_R,),
             in_specs=[
-                pl.BlockSpec((BLOCK_R, C), lambda r, s: (r, 0)),
-                pl.BlockSpec((1, C), lambda r, s: (0, 0)),
-                pl.BlockSpec((1, C), lambda r, s: (0, 0)),
-                pl.BlockSpec((C, F), lambda r, s: (0, 0)),
-                pl.BlockSpec((1, F), lambda r, s: (0, 0)),
-                pl.BlockSpec((F, C), lambda r, s: (0, 0)),
-                pl.BlockSpec((1, C), lambda r, s: (0, 0)),
+                pl.BlockSpec((BLOCK_R, C), lambda r, s, v: (r, 0)),
+                pl.BlockSpec((1, C), lambda r, s, v: (0, 0)),
+                pl.BlockSpec((1, C), lambda r, s, v: (0, 0)),
+                pl.BlockSpec((C, F), lambda r, s, v: (0, 0)),
+                pl.BlockSpec((1, F), lambda r, s, v: (0, 0)),
+                pl.BlockSpec((F, C), lambda r, s, v: (0, 0)),
+                pl.BlockSpec((1, C), lambda r, s, v: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((BLOCK_R, C), lambda r, s: (r, 0)),
+            out_specs=pl.BlockSpec((BLOCK_R, C), lambda r, s, v: (r, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((rp, C), x2.dtype),
         interpret=_interpret(),
-    )(seed, xp, gamma[None, :], beta[None, :], w1, b1[None, :], w2,
+    )(seed, valid, xp, gamma[None, :], beta[None, :], w1, b1[None, :], w2,
       b2[None, :])
     return y[:R]
 
 
-def _call_bwd(x2, gamma, beta, w1, b1, w2, b2, seed, p, training, dy):
+def _call_bwd(x2, gamma, beta, w1, b1, w2, b2, seed, valid, p, training, dy):
     R, C = x2.shape
     F = w1.shape[1]
     rp = _round_up(R, BLOCK_R)
     xp = jnp.pad(x2, ((0, rp - R), (0, 0)))
     dyp = jnp.pad(dy, ((0, rp - R), (0, 0)))
     kern = functools.partial(_bwd_kernel, p=p, training=training, n=C)
-    const = lambda r, s: (0, 0)
-    row = lambda r, s: (r, 0)
+    const = lambda r, s, v: (0, 0)
+    row = lambda r, s, v: (r, 0)
     dx, dg, dbt, dw1, db1, dw2, db2 = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(rp // BLOCK_R,),
             in_specs=[
                 pl.BlockSpec((BLOCK_R, C), row),
@@ -286,55 +330,64 @@ def _call_bwd(x2, gamma, beta, w1, b1, w2, b2, seed, p, training, dy):
             jax.ShapeDtypeStruct((1, C), jnp.float32),
         ],
         interpret=_interpret(),
-    )(seed, xp, gamma[None, :], beta[None, :], w1, b1[None, :], w2,
+    )(seed, valid, xp, gamma[None, :], beta[None, :], w1, b1[None, :], w2,
       b2[None, :], dyp)
     return (dx[:R], dg[0].astype(gamma.dtype), dbt[0].astype(beta.dtype),
             dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
             dw2.astype(w2.dtype), db2[0].astype(b2.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
-def _fused(x2, gamma, beta, w1, b1, w2, b2, seed, p, training):
-    return _call_fwd(x2, gamma, beta, w1, b1, w2, b2, seed, p, training)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _fused(x2, gamma, beta, w1, b1, w2, b2, seed, valid, p, training):
+    return _call_fwd(x2, gamma, beta, w1, b1, w2, b2, seed, valid, p,
+                     training)
 
 
-def _fused_fwd(x2, gamma, beta, w1, b1, w2, b2, seed, p, training):
-    y = _call_fwd(x2, gamma, beta, w1, b1, w2, b2, seed, p, training)
-    return y, (x2, gamma, beta, w1, b1, w2, b2, seed)
+def _fused_fwd(x2, gamma, beta, w1, b1, w2, b2, seed, valid, p, training):
+    y = _call_fwd(x2, gamma, beta, w1, b1, w2, b2, seed, valid, p, training)
+    return y, (x2, gamma, beta, w1, b1, w2, b2, seed, valid)
 
 
 def _fused_bwd(p, training, res, g):
-    x2, gamma, beta, w1, b1, w2, b2, seed = res
+    x2, gamma, beta, w1, b1, w2, b2, seed, valid = res
     dx, dg, dbt, dw1, db1, dw2, db2 = _call_bwd(
-        x2, gamma, beta, w1, b1, w2, b2, seed, p, training,
+        x2, gamma, beta, w1, b1, w2, b2, seed, valid, p, training,
         g.astype(x2.dtype))
     return (dx, dg, dbt, dw1, db1, dw2, db2,
-            jnp.zeros_like(seed))
+            jnp.zeros_like(seed), jnp.zeros_like(valid))
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def pallas_ffn(x, gamma, beta, w1, b1, w2, b2, *, p: float,
-               deterministic: bool, seed) -> jnp.ndarray:
+               deterministic: bool, seed, block_valid=None) -> jnp.ndarray:
     """x: [..., C]; returns x + FFN(StdLN(x)) with in-kernel dropout.
 
     ``seed``: int32[2] (ignored when deterministic or p == 0). The same
     seed must not be reused across layers/steps — the caller derives it
-    from the flax dropout rng."""
+    from the flax dropout rng.
+
+    ``block_valid``: optional int [..., rows/BLOCK_R] per-row-block
+    validity flags (any leading shape, flattened in row order): 0-blocks
+    skip the FFN entirely and pass the residual through — exact for rows
+    beyond a sample's valid length, which are row-local here and masked as
+    keys everywhere downstream (zero cotangents)."""
     shape = x.shape
     C = shape[-1]
     x2 = x.reshape(-1, C)
     training = (not deterministic) and p > 0.0
     if seed is None:
         seed = jnp.zeros((2,), jnp.int32)
+    R = x2.shape[0]
+    valid = _block_valid_flags(R, _round_up(R, BLOCK_R), block_valid)
     y = _fused(x2, gamma, beta, w1, b1, w2, b2,
-               seed.astype(jnp.int32), float(p), bool(training))
+               seed.astype(jnp.int32), valid, float(p), bool(training))
     return y.reshape(shape)
 
 
 def xla_ffn(x, gamma, beta, w1, b1, w2, b2, *, p: float,
-            deterministic: bool, seed) -> jnp.ndarray:
+            deterministic: bool, seed, block_valid=None) -> jnp.ndarray:
     """Pure-jnp reference of the same math (test oracle; dropout masks
     differ from the kernel's TPU PRNG, so only deterministic comparisons
     are exact)."""

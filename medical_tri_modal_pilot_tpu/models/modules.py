@@ -237,7 +237,9 @@ class TransformerEncoderLayer(nn.Module):
         h = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype,
                                name="self_attention")(h, h, h, key_mask)
         x = x + h
-        return _ffn_block(self, x, deterministic)
+        # self-attention: the key mask indexes the same rows x carries, so
+        # it doubles as the FFN's row-validity source (row-block skip)
+        return _ffn_block(self, x, deterministic, key_mask=key_mask)
 
 
 # set by ops dispatch: fused LN->FFN->residual kernel (kernels/ffn.py) or
@@ -250,12 +252,29 @@ def set_ffn_impl(fn) -> None:
     _FFN_IMPL = fn
 
 
-def _ffn_block(layer: nn.Module, x, deterministic: bool):
+def _ffn_row_blocks(x, key_mask):
+    """Per-row-block validity flags for the fused FFN kernel: a block of
+    BLOCK_R consecutive rows (sample-major [B, L] order) is skippable when
+    every row in it is a masked key — padded rows are row-local in the FFN
+    and read by nothing downstream. None when the layout doesn't align to
+    whole blocks (L % BLOCK_R) or the mask is a 3-D block mask."""
+    if key_mask is None or key_mask.ndim != 2 or x.ndim != 3:
+        return None
+    from ..kernels.ffn import BLOCK_R
+    B, L, _ = x.shape
+    if L % BLOCK_R != 0 or key_mask.shape != (B, L):
+        return None
+    alive = jnp.logical_not(key_mask).reshape(B, L // BLOCK_R, BLOCK_R)
+    return jnp.any(alive, axis=-1)
+
+
+def _ffn_block(layer: nn.Module, x, deterministic: bool, key_mask=None):
     """The pre-norm FFN half of an encoder layer: x + FFN(StdLN(x)).
 
     Params always come from the same StdLayerNorm/FeedForward submodules
     (identical tree/checkpoints); on TPU the computation dispatches to the
-    fused Pallas kernel with in-kernel dropout."""
+    fused Pallas kernel with in-kernel dropout and per-sample row-block
+    skipping (padded TIE rows pay no FFN flops)."""
     prenorm = StdLayerNorm(layer.d_model, dtype=layer.dtype,
                            name="feed_forward_prenorm")
     ffn = FeedForward(layer.d_model, layer.d_ff, layer.dropout_p,
@@ -269,7 +288,8 @@ def _ffn_block(layer: nn.Module, x, deterministic: bool):
         seed = jax.random.randint(layer.make_rng("dropout"), (2,),
                                   -2 ** 31, 2 ** 31 - 1, dtype=jnp.int32)
     return _FFN_IMPL(x, gamma, beta, w1, b1, w2, b2, p=layer.dropout_p,
-                     deterministic=deterministic, seed=seed)
+                     deterministic=deterministic, seed=seed,
+                     block_valid=_ffn_row_blocks(x, key_mask))
 
 
 # --remat: rematerialize each encoder layer in the backward pass

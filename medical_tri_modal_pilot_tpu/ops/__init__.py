@@ -35,6 +35,7 @@ from ..models import umse as _umse
 def _wrap_pallas_for_mesh(mesh):
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -65,26 +66,40 @@ def _wrap_pallas_for_mesh(mesh):
         return shard_map(body, mesh=mesh, in_specs=(qs, qs, qs, ms),
                          out_specs=qs, check_rep=False)(q, k, v, key_mask)
 
-    def ffn(x, gamma, beta, w1, b1, w2, b2, *, p, deterministic, seed):
+    def ffn(x, gamma, beta, w1, b1, w2, b2, *, p, deterministic, seed,
+            block_valid=None):
         if x.shape[0] % dp != 0:
             return pallas_ffn(x, gamma, beta, w1, b1, w2, b2, p=p,
-                              deterministic=deterministic, seed=seed)
+                              deterministic=deterministic, seed=seed,
+                              block_valid=block_valid)
         if seed is None:
             seed = jnp.zeros(2, jnp.int32)
         xs = P(*([DATA_AXIS] + [None] * (x.ndim - 1)))
+        wspecs = (P(None), P(None), P(None, None), P(None), P(None, None),
+                  P(None), P(None))
 
-        def body(x, gamma, beta, w1, b1, w2, b2, seed):
-            # decorrelate in-kernel dropout across data shards
+        if block_valid is None:
+            def body0(x, gamma, beta, w1, b1, w2, b2, seed):
+                # decorrelate in-kernel dropout across data shards
+                seed = seed + jax.lax.axis_index(DATA_AXIS)
+                return pallas_ffn(x, gamma, beta, w1, b1, w2, b2, p=p,
+                                  deterministic=deterministic, seed=seed)
+            return shard_map(
+                body0, mesh=mesh, in_specs=(xs,) + wspecs,
+                out_specs=xs, check_rep=False)(
+                    x, gamma, beta, w1, b1, w2, b2, seed)
+
+        def body(x, gamma, beta, w1, b1, w2, b2, seed, bv):
             seed = seed + jax.lax.axis_index(DATA_AXIS)
             return pallas_ffn(x, gamma, beta, w1, b1, w2, b2, p=p,
-                              deterministic=deterministic, seed=seed)
+                              deterministic=deterministic, seed=seed,
+                              block_valid=bv)
 
         return shard_map(
             body, mesh=mesh,
-            in_specs=(xs, P(None), P(None), P(None, None), P(None),
-                      P(None, None), P(None), P(None)),
+            in_specs=(xs,) + wspecs + (P(DATA_AXIS, None),),
             out_specs=xs, check_rep=False)(
-                x, gamma, beta, w1, b1, w2, b2, seed)
+                x, gamma, beta, w1, b1, w2, b2, seed, block_valid)
 
     def window_attention(xw, wqkv, bqkv, wproj, bproj, bias, smask,
                          num_heads):

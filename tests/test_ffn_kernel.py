@@ -83,3 +83,44 @@ def test_row_padding_is_inert():
     ref = xla_ffn(*args, p=0.1, deterministic=True, seed=None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_block_valid_skip_exact_on_live_rows():
+    """Per-sample row-block skip (block_valid): live rows are bit-equal to
+    the full computation fwd+bwd; dead blocks pass the residual through
+    (their cotangents are zero in the model — attention never reads padded
+    keys)."""
+    rng = np.random.default_rng(3)
+    B, L, C, F = 4, 512, 64, 256
+    x = jnp.asarray(rng.normal(size=(B, L, C)), jnp.float32)
+    gamma = jnp.asarray(rng.normal(1, .1, C), jnp.float32)
+    beta = jnp.asarray(rng.normal(0, .1, C), jnp.float32)
+    w1 = jnp.asarray(rng.normal(0, .05, (C, F)), jnp.float32)
+    b1 = jnp.asarray(rng.normal(0, .05, F), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, .05, (F, C)), jnp.float32)
+    b2 = jnp.asarray(rng.normal(0, .05, C), jnp.float32)
+    lens = np.array([100, 512, 300, 10])
+    alive = np.arange(L)[None] < lens[:, None]
+    bv = jnp.asarray(alive.reshape(B, L // 256, 256).any(-1), jnp.int32)
+    amask = jnp.asarray(alive[:, :, None], jnp.float32)
+
+    def run(bvv):
+        def f(x, gamma, beta, w1, b1, w2, b2):
+            o = pallas_ffn(x, gamma, beta, w1, b1, w2, b2, p=0.1,
+                           deterministic=True, seed=None, block_valid=bvv)
+            om = o * amask          # zero the dead-row cotangents
+            return jnp.sum(om * jnp.cos(om)), o
+        g, o = jax.grad(f, argnums=tuple(range(7)), has_aux=True)(
+            x, gamma, beta, w1, b1, w2, b2)
+        return g, o
+
+    g_s, o_s = run(bv)
+    g_f, o_f = run(None)
+    np.testing.assert_array_equal(np.asarray(o_s) * np.asarray(amask),
+                                  np.asarray(o_f) * np.asarray(amask))
+    for a, b in zip(g_s, g_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    # fully-dead block (sample 3, rows 256:512) passes the residual through
+    np.testing.assert_array_equal(np.asarray(o_s)[3, 256:],
+                                  np.asarray(x)[3, 256:])

@@ -36,11 +36,45 @@ NOTES = [
 
 def make_stay(rng: np.random.Generator, pat_id: int, chid: int,
               seq_len: int, task_rates: dict, image_dir: str,
-              rel_image_root: str):
+              rel_image_root: str, signal: float = 0.0):
+    """``signal`` in [0, 1]: heart rate (feature 0) rises in the hours
+    before each intubation event — 0 keeps vitals independent of outcomes
+    (schema-only fixtures), 1 plants a window-local cue a model can learn
+    from the TIE stream (tests/test_learning_sanity.py): positive windows
+    (event within --prediction-range after the key) overlap the bump."""
     # hourly grid of 18 features in raw units, then normalized
     raw = FEATURE_MINS + FEATURE_MAX_MINS * rng.beta(4, 4, size=(seq_len, 18))
     mask = (rng.random((seq_len, 18)) < 0.45).astype(np.float64)
     mask[0] = 1.0
+
+    def event(rate, multi=False):
+        if rng.random() >= rate:
+            return 0, None
+        if multi:
+            n = rng.integers(1, 3)
+            times = sorted(float(rng.uniform(4, seq_len + 8)) for _ in range(n))
+            return 1, [(t, t + float(rng.uniform(1, 5))) for t in times]
+        return 1, float(rng.uniform(4, seq_len + 8))
+
+    death_yn, death_time = event(task_rates.get("mortality", 0.3))
+    vasso_yn, vasso_time = event(task_rates.get("vasso", 0.3), multi=True)
+    intub_yn, intub_time = event(task_rates.get("intubation", 0.3), multi=True)
+    cpr_yn, cpr_time = event(task_rates.get("cpr", 0.2), multi=True)
+
+    if signal > 0.0 and intub_yn:
+        # pre-event tachycardia: raise HR (observed every hour) across the
+        # 8 hours before each intubation onset — inside the default 12 h
+        # prediction range, so every positive window sees it
+        for onset, _end in intub_time:
+            lo = max(0, int(np.floor(onset)) - 8)
+            hi = min(seq_len, int(np.ceil(onset)) + 1)
+            if lo < hi:
+                bump = signal * 0.35 * FEATURE_MAX_MINS[0]
+                raw[lo:hi, 0] = np.minimum(
+                    raw[lo:hi, 0] + bump,
+                    FEATURE_MINS[0] + FEATURE_MAX_MINS[0])
+                mask[lo:hi, 0] = 1.0
+
     # carry forward + delta (hours since last observation)
     data = raw.copy()
     delta = np.zeros_like(data)
@@ -65,20 +99,6 @@ def make_stay(rng: np.random.Generator, pat_id: int, chid: int,
         k: list(range(3, min(k + 1, 24) + 1))
         for k in range(2, seq_len)
     }
-
-    def event(rate, multi=False):
-        if rng.random() >= rate:
-            return 0, None
-        if multi:
-            n = rng.integers(1, 3)
-            times = sorted(float(rng.uniform(4, seq_len + 8)) for _ in range(n))
-            return 1, [(t, t + float(rng.uniform(1, 5))) for t in times]
-        return 1, float(rng.uniform(4, seq_len + 8))
-
-    death_yn, death_time = event(task_rates.get("mortality", 0.3))
-    vasso_yn, vasso_time = event(task_rates.get("vasso", 0.3), multi=True)
-    intub_yn, intub_time = event(task_rates.get("intubation", 0.3), multi=True)
-    cpr_yn, cpr_time = event(task_rates.get("cpr", 0.2), multi=True)
 
     has_img = rng.random() < 0.7
     cxr_input = None
@@ -138,6 +158,10 @@ def main(argv=None):
     p.add_argument("--n-train", type=int, default=24)
     p.add_argument("--n-test", type=int, default=8)
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--signal", type=float, default=0.0,
+                   help="0 = outcomes independent of vitals (schema-only); "
+                        ">0 = outcome rates shift with mean heart rate so "
+                        "models can learn (learning-sanity regression)")
     args = p.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
@@ -153,7 +177,7 @@ def main(argv=None):
             chid = 20_000_000 + rng.integers(0, 9_000_000)
             seq_len = int(rng.integers(24, 96))
             name, stay = make_stay(rng, pat_id, chid, seq_len,
-                                   {}, image_dir, "")
+                                   {}, image_dir, "", signal=args.signal)
             with open(os.path.join(split_dir, name), "wb") as f:
                 pickle.dump(stay, f, pickle.HIGHEST_PROTOCOL)
             if stay["txt_yn"]:
