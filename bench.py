@@ -34,6 +34,7 @@ BATCH = 64
 WARMUP = 3
 ITERS = 20
 WINDOWS = 3
+IMG_PRESENT_FRAC = 0.25   # modeled train-missing CXR coverage (bench batch)
 
 
 def _calibrate_matmul_tflops() -> float:
@@ -136,6 +137,7 @@ def _verify_kernels() -> dict:
     """Compiled pallas-vs-XLA parity (fwd+bwd) on the benchmark backend —
     interpret-mode CPU tests can't catch Mosaic-compiled divergence, so
     every bench run re-checks on the real chip (tools/verify_kernels_tpu)."""
+    import sys
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tools"))
