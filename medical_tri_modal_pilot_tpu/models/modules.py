@@ -146,6 +146,33 @@ def get_attention_impl() -> Callable:
     return _ATTENTION_IMPL
 
 
+# set by ops dispatch: row-block-skipped affine (kernels/rowmm.py) for the
+# q/k/v projections over length-padded self-attention streams, or None for
+# plain XLA matmuls
+_QKV_IMPL: Optional[Callable] = None
+
+
+def set_qkv_impl(fn) -> None:
+    global _QKV_IMPL
+    _QKV_IMPL = fn
+
+
+class _XavierParams(nn.Module):
+    """nn.Dense-shaped params ({kernel, bias}, xavier/zeros init) exposed
+    raw — same tree and init as ``xavier_dense`` so checkpoints are
+    interchangeable between the fused and plain projection paths."""
+    fin: int
+    fout: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                                 (self.fin, self.fout))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.fout,))
+
+    def __call__(self):
+        return self.kernel, self.bias
+
+
 class MultiHeadAttention(nn.Module):
     dim: int
     num_heads: int
@@ -156,9 +183,23 @@ class MultiHeadAttention(nn.Module):
         d_head = self.dim // self.num_heads
         B, Lq, _ = query.shape
         Lk = key.shape[1]
-        q = xavier_dense(self.dim, "query_proj", self.dtype)(query)
-        k = xavier_dense(self.dim, "key_proj", self.dtype)(key)
-        v = xavier_dense(self.dim, "value_proj", self.dtype)(value)
+        dt = self.dtype
+        wq, bq = _XavierParams(query.shape[-1], self.dim, name="query_proj")()
+        wk, bk = _XavierParams(key.shape[-1], self.dim, name="key_proj")()
+        wv, bv_ = _XavierParams(value.shape[-1], self.dim, name="value_proj")()
+        blocks = (_ffn_row_blocks(query, key_mask)
+                  if (query is key and key is value) else None)
+        if _QKV_IMPL is not None and blocks is not None:
+            # one fused row-block-skipped matmul for all three projections:
+            # padded rows (masked keys/dead queries) pay no projection flops
+            wcat = jnp.concatenate([wq, wk, wv], axis=1).astype(dt)
+            bcat = jnp.concatenate([bq, bk, bv_]).astype(dt)
+            qkv = _QKV_IMPL(query.astype(dt), wcat, bcat, blocks)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = query.astype(dt) @ wq.astype(dt) + bq.astype(dt)
+            k = key.astype(dt) @ wk.astype(dt) + bk.astype(dt)
+            v = value.astype(dt) @ wv.astype(dt) + bv_.astype(dt)
         # [B, L, H, Dh] — no head transpose; the attention impls take the
         # head axis in place (see masked_softmax_attention docstring)
         q = q.reshape(B, Lq, self.num_heads, d_head)
