@@ -136,6 +136,15 @@ class MBTFusion(nn.Module):
         bottlenecks = jnp.broadcast_to(
             bottleneck_init, (B, self.bottlenecks_n, D)).astype(self.dtype)
 
+        # Fusion layers keep the bottleneck rows RESIDENT in each stream
+        # buffer: the reference re-concatenates [bottlenecks | stream] and
+        # slices it apart every layer (mbt_encoder.py:729-768) — under XLA
+        # those are 4 full-stream HBM copies per layer on the TIE stream.
+        # Here the streams are concatenated once at fusion start and the
+        # per-layer bottleneck refresh is a tiny dynamic_update_slice over
+        # rows [0:n] (in-place under XLA buffer reuse). Identical math.
+        n = self.bottlenecks_n
+        in_fusion = False
         for layer in range(self.n_layers):
             if layer < self.fusion_startidx:
                 xs = [
@@ -145,19 +154,27 @@ class MBTFusion(nn.Module):
                                                     deterministic)
                     for m in range(M)]
                 continue
+            if not in_fusion:
+                xs = [jnp.concatenate([bottlenecks, x], axis=1) for x in xs]
+                in_fusion = True
+            else:
+                xs = [jax.lax.dynamic_update_slice(
+                          x, bottlenecks.astype(x.dtype), (0, 0, 0))
+                      for x in xs]
             last_layer = (layer == self.n_layers - 1)
             new_xs, bn_outs = [], []
             for m in range(M):
                 if self.vsltonly == 1 and last_layer and m > 0:
+                    # stream skipped this layer; stale bottleneck rows in
+                    # front are sliced off on return
                     new_xs.append(xs[m])
                     continue
-                b_in = jnp.concatenate([bottlenecks, xs[m]], axis=1)
                 out = encoder_layer(
                     D, self.n_head, self.d_ff, self.dropout, self.dtype,
-                    name=f"layers_{layer}_{m}")(b_in, b_key_masks[m],
+                    name=f"layers_{layer}_{m}")(xs[m], b_key_masks[m],
                                                 deterministic)
-                bn_outs.append(out[:, :self.bottlenecks_n])
-                new_xs.append(out[:, self.bottlenecks_n:])
+                bn_outs.append(out[:, :n])
+                new_xs.append(out)
             xs = new_xs
             if self.vsltonly == 1 and last_layer:
                 break
@@ -167,7 +184,7 @@ class MBTFusion(nn.Module):
             if self.resbottle:
                 mixed = (mixed + bottlenecks) / 2.0
             bottlenecks = mixed
-        return xs
+        return [x[:, n:] for x in xs] if in_fusion else xs
 
 
 # ---------------------------------------------------------------------------

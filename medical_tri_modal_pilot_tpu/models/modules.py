@@ -63,15 +63,21 @@ class StdLayerNorm(nn.Module):
         return self.gamma, self.beta
 
     def __call__(self, x):
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        n = xf.shape[-1]
-        var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / (n - 1)
-        # tiny floor keeps the backward finite at zero variance (torch's
-        # std backward yields 0 there; bare sqrt(0) would give inf*0=NaN)
-        std = jnp.sqrt(jnp.maximum(var, 1e-24))
-        out = (xf - mean) / (std + self.eps) * self.gamma + self.beta
-        return out.astype(self.dtype)
+        return stdln_apply(x, self.gamma, self.beta, self.dtype, self.eps)
+
+
+def stdln_apply(x, gamma, beta, dtype, eps: float = 1e-6):
+    """StdLayerNorm math as a function (shared by the module and the
+    MultiHeadAttention prenorm fall-back path)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    n = xf.shape[-1]
+    var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / (n - 1)
+    # tiny floor keeps the backward finite at zero variance (torch's
+    # std backward yields 0 there; bare sqrt(0) would give inf*0=NaN)
+    std = jnp.sqrt(jnp.maximum(var, 1e-24))
+    out = (xf - mean) / (std + eps) * gamma + beta
+    return out.astype(dtype)
 
 
 import functools as _functools
@@ -151,10 +157,19 @@ def get_attention_impl() -> Callable:
 # plain XLA matmuls
 _QKV_IMPL: Optional[Callable] = None
 
+# set by ops dispatch: the LN-fused variant (StdLN folded into the same
+# row-block pass) used when the caller hands the attention pre-norm scales
+_QKV_LN_IMPL: Optional[Callable] = None
+
 
 def set_qkv_impl(fn) -> None:
     global _QKV_IMPL
     _QKV_IMPL = fn
+
+
+def set_qkv_ln_impl(fn) -> None:
+    global _QKV_LN_IMPL
+    _QKV_LN_IMPL = fn
 
 
 class _XavierParams(nn.Module):
@@ -179,7 +194,14 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, query, key, value, key_mask: Optional[jnp.ndarray] = None):
+    def __call__(self, query, key, value, key_mask: Optional[jnp.ndarray] = None,
+                 prenorm: Optional[tuple] = None):
+        """``prenorm``: optional (gamma, beta) StdLayerNorm scales. When
+        given, query/key/value are the RAW residual stream (must be the
+        same array) and the pre-norm is applied here — fused into the
+        projection kernel when available, as a separate XLA StdLN
+        otherwise. Lets TransformerEncoderLayer skip the standalone
+        pre-norm HBM round-trip without changing the param tree."""
         d_head = self.dim // self.num_heads
         B, Lq, _ = query.shape
         Lk = key.shape[1]
@@ -187,8 +209,24 @@ class MultiHeadAttention(nn.Module):
         wq, bq = _XavierParams(query.shape[-1], self.dim, name="query_proj")()
         wk, bk = _XavierParams(key.shape[-1], self.dim, name="key_proj")()
         wv, bv_ = _XavierParams(value.shape[-1], self.dim, name="value_proj")()
-        blocks = (_ffn_row_blocks(query, key_mask)
-                  if (query is key and key is value) else None)
+        is_self = query is key and key is value
+        blocks = _ffn_row_blocks(query, key_mask) if is_self else None
+        if prenorm is not None:
+            if not is_self:
+                raise ValueError("prenorm requires query is key is value")
+            gamma, beta = prenorm
+            if _QKV_LN_IMPL is not None and blocks is not None:
+                wcat = jnp.concatenate([wq, wk, wv], axis=1).astype(dt)
+                bcat = jnp.concatenate([bq, bk, bv_]).astype(dt)
+                q, k, v = _QKV_LN_IMPL(query.astype(dt), gamma, beta,
+                                       wcat, bcat, blocks)
+                q = q.reshape(B, Lq, self.num_heads, d_head)
+                k = k.reshape(B, Lk, self.num_heads, d_head)
+                v = v.reshape(B, Lk, self.num_heads, d_head)
+                ctx = _ATTENTION_IMPL(q, k, v, key_mask, math.sqrt(d_head),
+                                      is_self=True)
+                return ctx.reshape(B, Lq, self.dim)
+            query = key = value = stdln_apply(query, gamma, beta, dt)
         if _QKV_IMPL is not None and blocks is not None:
             # one fused row-block-skipped matmul for all three projections:
             # padded rows (masked keys/dead queries) pay no projection flops
@@ -274,9 +312,15 @@ class TransformerEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, key_mask: Optional[jnp.ndarray] = None,
                  deterministic: bool = True):
-        h = StdLayerNorm(self.d_model, dtype=self.dtype, name="attention_prenorm")(x)
+        # hand the pre-norm scales to MHA instead of normalizing here: on
+        # the kernel path StdLN fuses into the q/k/v projection pass
+        # (kernels/rowmm.py), saving a full-stream HBM round-trip per layer;
+        # param tree and math are identical either way
+        pre = StdLayerNorm(self.d_model, dtype=self.dtype,
+                           name="attention_prenorm")
         h = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype,
-                               name="self_attention")(h, h, h, key_mask)
+                               name="self_attention")(x, x, x, key_mask,
+                                                      prenorm=pre.scales())
         x = x + h
         # self-attention: the key mask indexes the same rows x carries, so
         # it doubles as the FFN's row-validity source (row-block skip)

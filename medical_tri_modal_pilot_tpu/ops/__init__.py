@@ -41,7 +41,8 @@ def _wrap_pallas_for_mesh(mesh):
 
     from ..kernels.attention import pallas_masked_attention
     from ..kernels.ffn import pallas_ffn
-    from ..kernels.rowmm import pallas_rowskip_affine
+    from ..kernels.rowmm import (pallas_rowskip_affine,
+                                 pallas_rowskip_ln_affine)
     from ..kernels.swin_attention import pallas_window_attention
     from ..kernels.swin_mlp import pallas_swin_mlp
     from ..kernels.umse import pallas_umse
@@ -112,6 +113,18 @@ def _wrap_pallas_for_mesh(mesh):
             in_specs=(xs, P(None, None), P(None), P(DATA_AXIS, None)),
             out_specs=ys, check_rep=False)(x, w, b, block_valid)
 
+    def qkv_ln_affine(x, gamma, beta, w, b, block_valid):
+        if x.ndim != 3 or x.shape[0] % dp != 0 or block_valid is None:
+            return pallas_rowskip_ln_affine(x, gamma, beta, w, b, block_valid)
+        xs = P(DATA_AXIS, None, None)
+        ys = P(DATA_AXIS, None, None)
+        return shard_map(
+            pallas_rowskip_ln_affine, mesh=mesh,
+            in_specs=(xs, P(None), P(None), P(None, None), P(None),
+                      P(DATA_AXIS, None)),
+            out_specs=(ys, ys, ys), check_rep=False)(
+                x, gamma, beta, w, b, block_valid)
+
     def window_attention(xw, wqkv, bqkv, wproj, bproj, bias, smask,
                          num_heads):
         M = 1 if smask is None else smask.shape[0]
@@ -172,7 +185,8 @@ def _wrap_pallas_for_mesh(mesh):
             out_specs=xs, check_rep=False)(
                 x, wv, bv, sv, bbv, wt, bt, st, bbt, feat_emb)
 
-    return attention, ffn, qkv_affine, window_attention, swin_mlp, umse
+    return (attention, ffn, qkv_affine, qkv_ln_affine, window_attention,
+            swin_mlp, umse)
 
 
 def configure(use_pallas: bool, mesh=None) -> None:
@@ -189,10 +203,15 @@ def configure(use_pallas: bool, mesh=None) -> None:
 
         multi = mesh is not None and mesh.devices.size > 1
         if multi:
-            attention, ffn, qkv_affine, window_attention, swin_mlp, umse = \
-                _wrap_pallas_for_mesh(mesh)
+            (attention, ffn, qkv_affine, qkv_ln_affine, window_attention,
+             swin_mlp, umse) = _wrap_pallas_for_mesh(mesh)
             _modules.set_attention_impl(attention)
-            _modules.set_qkv_impl(qkv_affine)
+            # bare (non-LN) row-skip projections measured SLOWER than plain
+            # XLA matmuls (58 vs 55 ms/step: the skip saves fewer flops than
+            # the lost XLA fusion costs) — only the LN-fused variant, which
+            # also removes the pre-norm HBM round-trip, pays for itself
+            _modules.set_qkv_impl(None)
+            _modules.set_qkv_ln_impl(qkv_ln_affine)
             if mesh.shape.get(MODEL_AXIS, 1) > 1:
                 # plain XLA FFN: SPMD shards its matmuls over 'model'
                 # (parallel/mesh._tp_spec); the fused kernel would force
@@ -204,9 +223,10 @@ def configure(use_pallas: bool, mesh=None) -> None:
             _swin.set_swin_mlp_impl(swin_mlp)
             _umse.set_umse_impl(umse)
         else:
-            from ..kernels.rowmm import pallas_rowskip_affine
+            from ..kernels.rowmm import pallas_rowskip_ln_affine
             _modules.set_attention_impl(pallas_masked_attention)
-            _modules.set_qkv_impl(pallas_rowskip_affine)
+            _modules.set_qkv_impl(None)   # see the multi-branch comment
+            _modules.set_qkv_ln_impl(pallas_rowskip_ln_affine)
             _modules.set_ffn_impl(pallas_ffn)
             _swin.set_window_attention_impl(pallas_window_attention)
             _swin.set_swin_mlp_impl(pallas_swin_mlp)
@@ -217,6 +237,7 @@ def configure(use_pallas: bool, mesh=None) -> None:
         from ..kernels.umse import xla_umse
         _modules.set_attention_impl(_modules.masked_softmax_attention)
         _modules.set_qkv_impl(None)
+        _modules.set_qkv_ln_impl(None)
         _modules.set_ffn_impl(None)
         _swin.set_window_attention_impl(xla_window_attention)
         _swin.set_swin_mlp_impl(xla_swin_mlp)

@@ -5,8 +5,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from medical_tri_modal_pilot_tpu.kernels.rowmm import (pallas_rowskip_affine,
-                                                       xla_rowskip_affine)
+from medical_tri_modal_pilot_tpu.kernels.rowmm import (
+    pallas_rowskip_affine, pallas_rowskip_ln_affine, xla_rowskip_affine,
+    xla_rowskip_ln_affine)
 
 
 def _inputs(B=2, L=512, Cin=64, Cout=192, seed=0):
@@ -70,6 +71,67 @@ def test_block_skip_exact_on_live_rows():
                                    rtol=2e-5, atol=2e-5)
     # fully-dead block (sample 3, rows 256:512) emits zeros
     np.testing.assert_array_equal(np.asarray(o_s)[3, 256:], 0.0)
+
+
+def test_ln_fused_matches_xla():
+    """LN-fused variant vs XLA StdLN + affine: fwd (all three outputs) and
+    all grads, with a skipped dead block (zero cotangents on dead rows)."""
+    x, w, b = _inputs(B=2, L=512)
+    gamma = jnp.asarray(np.random.default_rng(2).normal(1, 0.1, 64),
+                        jnp.float32)
+    beta = jnp.asarray(np.random.default_rng(3).normal(0, 0.1, 64),
+                       jnp.float32)
+    lens = np.array([200, 512])
+    alive = np.arange(512)[None] < lens[:, None]
+    bv = jnp.asarray(alive.reshape(2, 2, 256).any(-1), jnp.int32)
+    amask = jnp.asarray(alive[:, :, None], jnp.float32)
+
+    def run(fn, bvv):
+        def f(x, gamma, beta, w, b):
+            q, k, v = fn(x, gamma, beta, w, b, bvv)
+            o = jnp.concatenate([q, k, v], axis=-1) * amask
+            return jnp.sum(o * jnp.cos(o)), o
+        g, o = jax.grad(f, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+            x, gamma, beta, w, b)
+        return g, o
+
+    g_p, o_p = run(pallas_rowskip_ln_affine, bv)
+    g_x, o_x = run(xla_rowskip_ln_affine, None)
+    np.testing.assert_allclose(np.asarray(o_p) * np.asarray(amask),
+                               np.asarray(o_x) * np.asarray(amask),
+                               rtol=2e-5, atol=2e-5)
+    for a, r, n in zip(g_p, g_x, "x gamma beta w b".split()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=3e-4, atol=3e-4, err_msg=n)
+    # dead block emits zeros
+    np.testing.assert_array_equal(np.asarray(o_p)[0, 256:], 0.0)
+
+
+def test_encoder_layer_prenorm_fused_matches_plain():
+    """TransformerEncoderLayer with the LN-fused QKV dispatch active vs
+    inactive: identical param tree, matching outputs on live rows."""
+    from medical_tri_modal_pilot_tpu.models import modules as M
+
+    B, L, D = 2, 512, 64
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    lens = jnp.asarray([300, 120])
+    key_mask = M.length_key_mask(lens, L)
+    layer = M.TransformerEncoderLayer(d_model=D, num_heads=4, d_ff=128)
+    params = layer.init(jax.random.PRNGKey(0), x, key_mask, True)
+
+    old = M._QKV_LN_IMPL
+    try:
+        M.set_qkv_ln_impl(None)
+        ref = layer.apply(params, x, key_mask, True)
+        M.set_qkv_ln_impl(pallas_rowskip_ln_affine)
+        out = layer.apply(params, x, key_mask, True)
+    finally:
+        M.set_qkv_ln_impl(old)
+
+    live = np.arange(L)[None] < np.asarray(lens)[:, None]
+    np.testing.assert_allclose(np.asarray(out)[live], np.asarray(ref)[live],
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_mha_fused_qkv_matches_plain():

@@ -160,6 +160,36 @@ def verify_rowmm() -> dict:
             "rowmm/bwd": max(_err(a, r) for a, r in zip(gp, gx))}
 
 
+def verify_rowmm_ln() -> dict:
+    from medical_tri_modal_pilot_tpu.kernels.rowmm import (
+        pallas_rowskip_ln_affine, xla_rowskip_ln_affine)
+    rng = np.random.default_rng(11)
+    B, L, C = 8, 512, 256
+    x = jnp.asarray(rng.normal(0, 1, (B, L, C)), jnp.float32)
+    gamma = jnp.asarray(rng.normal(1, 0.1, C), jnp.float32)
+    beta = jnp.asarray(rng.normal(0, 0.1, C), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (C, 3 * C)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.05, (3 * C,)), jnp.float32)
+    lens = rng.integers(1, L + 1, B)
+    alive = np.arange(L)[None] < lens[:, None]
+    bv = jnp.asarray(alive.reshape(B, L // 256, 256).any(-1), jnp.int32)
+    am = jnp.asarray(alive[:, :, None], jnp.float32)
+
+    def run(fn, bvv):
+        def loss(x, gamma, beta, w, b):
+            q, k, v = fn(x, gamma, beta, w, b, bvv)
+            o = jnp.concatenate([q, k, v], axis=-1) * am
+            return jnp.sum(o * jnp.cos(o.astype(jnp.float32))), o
+        g, o = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4),
+                                has_aux=True))(x, gamma, beta, w, b)
+        return g, o
+
+    gp, op = run(pallas_rowskip_ln_affine, bv)
+    gx, ox = run(xla_rowskip_ln_affine, None)
+    return {"rowmm_ln/fwd": _err(op * am, ox * am),
+            "rowmm_ln/bwd": max(_err(a, r) for a, r in zip(gp, gx))}
+
+
 def verify_swin() -> dict:
     from medical_tri_modal_pilot_tpu.kernels.swin_attention import (
         pallas_window_attention, xla_window_attention)
@@ -222,6 +252,7 @@ def verify_all(tol: float = TOL) -> dict:
         errors.update(verify_attention())
         errors.update(verify_ffn())
         errors.update(verify_rowmm())
+        errors.update(verify_rowmm_ln())
         errors.update(verify_swin())
     mx = max(errors.values())
     return {"pass": bool(mx <= tol), "tol": tol,
