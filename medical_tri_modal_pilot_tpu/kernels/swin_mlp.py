@@ -111,6 +111,9 @@ def _pallas(x, scale, bias, w1, b1, w2, b2):
         ],
         out_specs=pl.BlockSpec((Rb, C), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((R_pad, C), x.dtype),
+        # stage-4 weights (768x3072 f32 both ways) exceed the default 16M
+        # scoped-vmem budget on some compile paths; v5e has 128M physical
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
         interpret=_interpret(),
     )(xp, scale.reshape(1, -1), bias.reshape(1, -1), w1, b1.reshape(1, -1),
       w2, b2.reshape(1, -1))

@@ -15,7 +15,10 @@ from medical_tri_modal_pilot_tpu.train.trainer import Trainer
 def synth(tmp_path_factory):
     out = tmp_path_factory.mktemp("synth_cls")
     from tools.make_synthetic_fixtures import main as make
-    make(["--out", str(out), "--n-train", "12", "--n-test", "6",
+    # 24 stays: the fixture RNG stream shifted when event sampling moved
+    # ahead of vitals (--signal support); 12 seed-5 stays now leave only 2
+    # eligible vasso windows, under the batch size
+    make(["--out", str(out), "--n-train", "24", "--n-test", "12",
           "--seed", "5"])
     return str(out)
 
