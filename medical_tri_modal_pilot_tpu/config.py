@@ -258,6 +258,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help='optimizer steps per device dispatch (lax.scan '
                              'super-batches, amortizes host->device dispatch '
                              'latency); 0 = auto (4 for TIE/QIE on TPU, else 1)')
+    parser.add_argument('--image-cache-mb', type=int, default=256,
+                        help='byte budget (MB) for the host decoded-image '
+                             'LRU: caches each CXR\'s deterministic '
+                             'transform prefix (decode+equalize+fixed '
+                             'resize) so warm epochs only pay the random '
+                             'augment. 0 disables. Bit-identical outputs.')
     return parser
 
 
@@ -386,6 +392,7 @@ class Config:
     img_pack: int
     img_pack_frac: float
     train_multi_k: int
+    image_cache_mb: int
     # derived
     dir_root: str = "."
     log_fold: int = 0

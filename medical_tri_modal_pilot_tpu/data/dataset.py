@@ -27,6 +27,7 @@ from . import window as W
 from .images import load_cxr
 from .indexer import EvalIndex, TrainIndex, MULTIPLE_TASKS
 from .text import BioBertStore, fetch_text, load_txt_dict
+from .zeros import zero_array
 
 
 class _StayCache:
@@ -73,6 +74,8 @@ class _Base:
                              "resize_crop": "resize_crop",
                              "resize_larger": "resize_crop"}[cfg.image_test_type]
         self.image_size = cfg.image_size
+        from .images import set_image_cache_mb
+        set_image_cache_mb(cfg.image_cache_mb)
         self.is_event_task = cfg.output_type in MULTIPLE_TASKS
         self._vslt_keep = ~np.array(cfg.vslt_mask)
         self._native = None
@@ -106,8 +109,8 @@ class _Base:
     def _zero_image(self):
         s = self.image_size
         if self.cfg.multiimages == 0:
-            return np.zeros((1, s, s), dtype=np.float32), np.float32(-1.0)
-        return (np.zeros((3, 1, s, s), dtype=np.float32),
+            return zero_array((1, s, s)), np.float32(-1.0)
+        return (zero_array((3, 1, s, s)),
                 np.array([10, 10, 10], dtype=np.float32))
 
     def _fetch_image(self, raw: dict, file_name: str, type_code: int,

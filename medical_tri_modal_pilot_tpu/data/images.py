@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import math
 import random
+import threading
+from collections import OrderedDict
 from typing import Optional, Tuple
 
 import numpy as np
@@ -128,6 +130,11 @@ def transform_image(img: Image.Image, kind: str, size: int,
     Train kinds: random | resize | resize_crop | resize_affine_crop | randaug
     Eval kinds:  center | resize_eval | resize_crop | resize_larger
     """
+    return to_tensor(_transform_pil(img, kind, size, rng))
+
+
+def _transform_pil(img: Image.Image, kind: str, size: int,
+                   rng: Optional[random.Random] = None) -> Image.Image:
     rng = rng or random
     if kind == "random":
         img = _random_resized_crop(img, size, rng)
@@ -151,13 +158,102 @@ def transform_image(img: Image.Image, kind: str, size: int,
         img = img.resize((size, size), Image.BILINEAR)
     else:
         raise ValueError(f"unknown image transform kind: {kind}")
-    return to_tensor(img)
+    return img
+
+
+# ---------------------------------------------------------------------------
+# decoded-image cache: every transform stack starts with a deterministic
+# prefix (jpeg decode + equalize, plus the fixed resize for the *_crop
+# kinds; the fully deterministic eval kinds cache their final pixels).
+# Caching that prefix as uint8 makes warm epochs pay only the random
+# augment + crop + float scale instead of a full re-decode. Bounded LRU by
+# byte budget; identical outputs (the cached stage is bit-exact).
+# ---------------------------------------------------------------------------
+
+# kind -> (prefix_tag, deterministic_resize, fully_deterministic)
+_PREFIX = {
+    "random": ("eq", False, False),
+    "randaug": ("eq", False, False),
+    "resize": ("full", False, True),
+    "resize_crop": ("full", False, True),
+    "resize_larger": ("full", False, True),
+    "resize_affine_crop": ("rs", True, False),
+    "center": ("full", False, True),
+    "resize_eval": ("full", False, True),
+}
+
+
+class _LRUBytes:
+    def __init__(self, budget_bytes: int):
+        self.budget = budget_bytes
+        self._d: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()
+
+    def get(self, key):
+        with self._lock:
+            arr = self._d.get(key)
+            if arr is not None:
+                self._d.move_to_end(key)
+            return arr
+
+    def put(self, key, arr: np.ndarray):
+        with self._lock:
+            if key in self._d:
+                return
+            self._d[key] = arr
+            self._bytes += arr.nbytes
+            while self._bytes > self.budget and self._d:
+                _, old = self._d.popitem(last=False)
+                self._bytes -= old.nbytes
+
+
+_CACHE: Optional[_LRUBytes] = _LRUBytes(256 * 2 ** 20)
+
+
+def set_image_cache_mb(mb: int) -> None:
+    """Resize (or with 0, disable) the decoded-image LRU
+    (--image-cache-mb)."""
+    global _CACHE
+    _CACHE = _LRUBytes(mb * 2 ** 20) if mb > 0 else None
+
+
+def _decode_eq(path: str) -> Image.Image:
+    with Image.open(path) as im:
+        im.load()
+        return equalize(im)
 
 
 def load_cxr(path: str, kind: str, size: int,
              rng: Optional[random.Random] = None) -> np.ndarray:
     """Open + equalize + transform one CXR jpeg (dataset_new.py:700-702)."""
-    with Image.open(path) as im:
-        im.load()
-        img = equalize(im)
-    return transform_image(img, kind, size, rng)
+    if _CACHE is None:
+        return transform_image(_decode_eq(path), kind, size, rng)
+    tag, det_resize, fully_det = _PREFIX.get(kind, ("eq", False, False))
+    key = (path, tag if tag != "full" else kind, size)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        if fully_det:
+            return to_tensor(Image.fromarray(cached))
+        img = Image.fromarray(cached)   # post-prefix pixels (resize included)
+    else:
+        img = _decode_eq(path)
+        if fully_det:
+            img = _transform_pil(img, kind, size, rng)
+            _CACHE.put(key, np.asarray(img, dtype=np.uint8))
+            return to_tensor(img)
+        if det_resize:
+            img = _resize_shorter(img, round(size * 1.142))
+        _CACHE.put(key, np.asarray(img, dtype=np.uint8))
+    rng = rng or random
+    if kind == "random":
+        img = _random_resized_crop(img, size, rng)
+    elif kind == "randaug":
+        img = _rand_augment(img, rng)
+        img = _random_resized_crop(img, size, rng)
+    elif kind == "resize_affine_crop":
+        img = _random_affine(img, rng)
+        img = _center_crop(img, size)
+    else:  # pragma: no cover - fully_det kinds returned above
+        img = _transform_pil(img, kind, size, rng)
+    return to_tensor(img)

@@ -20,12 +20,29 @@ from .dataset import EvalDataset, TrainingDataset
 from .indexer import (MULTIPLE_TASKS, build_eval_index, patient_wise_ordering,
                       search_walk, _build_train_index)
 from .sampler import SequentialSampler, WeightedClassSampler
+from .zeros import is_shared_zero
 
 Batch = Dict[str, np.ndarray]
 
 
 def _stack(samples: List[dict]) -> Batch:
-    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    """Batch collate. Large fields build into a calloc'd buffer and skip
+    rows that are shared zero singletons (missing-modality images/text,
+    data/zeros.py) — np.zeros pages are already zero, so the per-row copy
+    for a 75%-missing image column disappears."""
+    out = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        first = vals[0]
+        if isinstance(first, np.ndarray) and first.nbytes >= 1 << 14:
+            buf = np.zeros((len(vals),) + first.shape, first.dtype)
+            for i, v in enumerate(vals):
+                if not is_shared_zero(v):
+                    buf[i] = v
+            out[k] = buf
+        else:
+            out[k] = np.stack(vals)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..config import Config
+from .zeros import zero_array
 
 _TXT_DICT_CACHE: Dict[Tuple[str, str, str], dict] = {}
 
@@ -112,16 +113,16 @@ def fetch_text(cfg: Config, data_pkl: dict, file_name: str, txt_dict: dict,
                     out = np.zeros((128, 768), dtype=np.float32)
                     out[:text_len] = tokens
                     return out, text_len, False
-        return np.zeros(shape, dtype=np.float32), 0, True
+        return zero_array(shape), 0, True
 
     # integer-token path
     if inclusion_ok and "txt1" in file_name and observed:
         tokens = list(txt_dict.get((int(data_pkl["pat_id"]), int(data_pkl["chid"])), []))
         if len(tokens) == 0 or force_missing:
-            return np.zeros(token_max_length, dtype=np.float32), 0, True
+            return zero_array((token_max_length,)), 0, True
         text_len = len(tokens)
         tokens.insert(0, 2)
         arr = clinical_note_transform(tokens, token_max_length)
         arr[arr == 1] = 0
         return arr, text_len, False
-    return np.zeros(token_max_length, dtype=np.float32), 0, True
+    return zero_array((token_max_length,)), 0, True
