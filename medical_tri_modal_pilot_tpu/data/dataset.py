@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 import pickle
 import random
+import threading
 from collections import OrderedDict
 from typing import Dict, List, Optional, Union
 
@@ -31,23 +32,51 @@ from .zeros import zero_array
 
 
 class _StayCache:
-    """Small LRU over parsed stay pkls (raw, un-normalized)."""
+    """Byte-budgeted LRU over parsed stay pkls (raw, un-normalized).
 
-    def __init__(self, capacity: int = 256):
-        self.capacity = capacity
+    Budgeted by estimated in-memory size rather than entry count so a
+    typical split fits entirely (a stay is ~25-200 KB; the old 256-entry
+    cap evicted half of a 1000-stay epoch and re-unpickled ~750 times).
+    Thread-safe for the worker pool; the unpickle runs outside the lock."""
+
+    def __init__(self, budget_mb: int = 512):
+        self.budget = budget_mb << 20
         self._d: "OrderedDict[str, dict]" = OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _size(raw: dict) -> int:
+        n = 4096
+        for v in raw.values():
+            if isinstance(v, np.ndarray):
+                n += v.nbytes
+            elif isinstance(v, (list, tuple)):
+                n += 64
+                for e in v:
+                    n += e.nbytes if isinstance(e, np.ndarray) else 64
+            elif isinstance(v, str):
+                n += len(v)
+        return n
 
     def get(self, path: str) -> dict:
-        if path in self._d:
-            self._d.move_to_end(path)
-            return self._d[path]
+        with self._lock:
+            raw = self._d.get(path)
+            if raw is not None:
+                self._d.move_to_end(path)
+                return raw
         with open(path, "rb") as f:
             raw = pickle.load(f)
         if raw.get("cxr_input") is None:
             raw.pop("cxr_input", None)
-        self._d[path] = raw
-        if len(self._d) > self.capacity:
-            self._d.popitem(last=False)
+        size = self._size(raw)
+        with self._lock:
+            if path not in self._d:
+                self._d[path] = raw
+                self._bytes += size
+                while self._bytes > self.budget and self._d:
+                    _, old = self._d.popitem(last=False)
+                    self._bytes -= self._size(old)
         return raw
 
 
