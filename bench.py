@@ -257,9 +257,15 @@ def main() -> None:
 
     # The TPU may be tunneled/time-shared: consecutive identical windows
     # have been observed to differ ~2x under external load. Take the best
-    # of WINDOWS timing windows — closest to unloaded-hardware throughput.
+    # of WINDOWS timing windows — closest to unloaded-hardware throughput —
+    # and keep adding windows (up to a time budget) while the best two
+    # disagree by >10%, so one calm window under a loaded tunnel suffices.
     best_dt = float("inf")
-    for _ in range(WINDOWS):
+    second_dt = float("inf")
+    t_budget = time.perf_counter() + 120.0
+    w = 0
+    while w < WINDOWS or (second_dt > 1.10 * best_dt
+                          and time.perf_counter() < t_budget):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             trainer.state, loss = trainer._train_step(trainer.state, dbatch,
@@ -267,7 +273,12 @@ def main() -> None:
         # the final loss depends on the whole donated-state chain, so
         # materializing it forces every step in the window
         _ = float(loss)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        if dt < best_dt:
+            best_dt, second_dt = dt, best_dt
+        elif dt < second_dt:
+            second_dt = dt
+        w += 1
 
     n_chips = len(jax.devices())
     samples_per_sec_per_chip = BATCH * ITERS / best_dt / n_chips

@@ -117,6 +117,21 @@ class TIEBatchAssembler:
         self.adjust_key = adjust_key
         self.n_threads = n_threads or (os.cpu_count() or 1)
         self.lib = load_library()
+        self._fast = None
+        if self.lib is not None:
+            # the cache arrays never change: resolve their pointers once and
+            # call through an argtype-free handle, skipping ndpointer
+            # validation on the 7 big arrays for every sample
+            # (~19k from_param calls per 1000-stay epoch)
+            c = self.cache
+            self._cache_arrays = tuple(
+                np.ascontiguousarray(a) for a in
+                (c.data, c.delta, c.stream, c.hour_off, c.grid_off,
+                 c.hour_off_off, c.T))
+            self._cache_ptrs = tuple(a.ctypes.data_as(ctypes.c_void_p)
+                                     for a in self._cache_arrays)
+            self._fast = ctypes.CDLL(_LIB_PATH).assemble_tie_batch
+            self._fast.restype = None
 
     def assemble(self, stay_idx: np.ndarray, keys: np.ndarray,
                  lengths: np.ndarray):
@@ -126,20 +141,22 @@ class TIEBatchAssembler:
         out = np.zeros((B, self.tie_len, 3), np.float32)
         out_len = np.zeros(B, np.int32)
         out_min_time = np.zeros(B, np.float32)
-        c = self.cache
-        if self.lib is not None:
-            self.lib.assemble_tie_batch(
-                np.ascontiguousarray(c.data), np.ascontiguousarray(c.delta),
-                np.ascontiguousarray(c.stream),
-                np.ascontiguousarray(c.hour_off),
-                np.ascontiguousarray(c.grid_off),
-                np.ascontiguousarray(c.hour_off_off),
-                np.ascontiguousarray(c.T),
-                np.ascontiguousarray(stay_idx.astype(np.int32)),
-                np.ascontiguousarray(keys.astype(np.int32)),
-                np.ascontiguousarray(lengths.astype(np.int32)),
-                B, self.tie_len, int(self.realtime), int(self.adjust_key),
-                out, out_len, out_min_time, self.n_threads)
+        if self._fast is not None:
+            sidx = np.ascontiguousarray(stay_idx.astype(np.int32))
+            kk = np.ascontiguousarray(keys.astype(np.int32))
+            ll = np.ascontiguousarray(lengths.astype(np.int32))
+            self._fast(
+                *self._cache_ptrs,
+                sidx.ctypes.data_as(ctypes.c_void_p),
+                kk.ctypes.data_as(ctypes.c_void_p),
+                ll.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int(B), ctypes.c_int(self.tie_len),
+                ctypes.c_int(int(self.realtime)),
+                ctypes.c_int(int(self.adjust_key)),
+                out.ctypes.data_as(ctypes.c_void_p),
+                out_len.ctypes.data_as(ctypes.c_void_p),
+                out_min_time.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int(self.n_threads))
             return out, out_len, out_min_time
 
         # numpy fallback — same semantics via window.py
