@@ -172,6 +172,18 @@ def set_qkv_ln_impl(fn) -> None:
     _QKV_LN_IMPL = fn
 
 
+# set by ops dispatch: the fully fused attention block (kernels/attn_block
+# .py — StdLN -> qkv -> flash attention -> +residual in one kernel, q/k/v
+# never leaving VMEM), used for self-attention with 2-D key masks when the
+# caller hands both the pre-norm scales and the residual stream
+_ATTN_BLOCK_IMPL: Optional[Callable] = None
+
+
+def set_attn_block_impl(fn) -> None:
+    global _ATTN_BLOCK_IMPL
+    _ATTN_BLOCK_IMPL = fn
+
+
 class _XavierParams(nn.Module):
     """nn.Dense-shaped params ({kernel, bias}, xavier/zeros init) exposed
     raw — same tree and init as ``xavier_dense`` so checkpoints are
@@ -195,13 +207,20 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key, value, key_mask: Optional[jnp.ndarray] = None,
-                 prenorm: Optional[tuple] = None):
+                 prenorm: Optional[tuple] = None,
+                 residual: Optional[jnp.ndarray] = None):
         """``prenorm``: optional (gamma, beta) StdLayerNorm scales. When
         given, query/key/value are the RAW residual stream (must be the
         same array) and the pre-norm is applied here — fused into the
         projection kernel when available, as a separate XLA StdLN
         otherwise. Lets TransformerEncoderLayer skip the standalone
-        pre-norm HBM round-trip without changing the param tree."""
+        pre-norm HBM round-trip without changing the param tree.
+
+        ``residual``: optional stream to add to the attention output
+        (the encoder layer's residual connection). Handing it in lets the
+        fully fused attention-block kernel (kernels/attn_block.py) fold
+        the add into its epilogue; on every other path it is an ordinary
+        XLA add here — math identical either way."""
         d_head = self.dim // self.num_heads
         B, Lq, _ = query.shape
         Lk = key.shape[1]
@@ -215,6 +234,14 @@ class MultiHeadAttention(nn.Module):
             if not is_self:
                 raise ValueError("prenorm requires query is key is value")
             gamma, beta = prenorm
+            if (_ATTN_BLOCK_IMPL is not None and residual is not None
+                    and residual is query
+                    and (key_mask is None or key_mask.ndim == 2)):
+                wcat = jnp.concatenate([wq, wk, wv], axis=1).astype(dt)
+                bcat = jnp.concatenate([bq, bk, bv_]).astype(dt)
+                return _ATTN_BLOCK_IMPL(query.astype(dt), gamma, beta,
+                                        wcat, bcat, key_mask,
+                                        math.sqrt(d_head), self.num_heads)
             if _QKV_LN_IMPL is not None and blocks is not None:
                 wcat = jnp.concatenate([wq, wk, wv], axis=1).astype(dt)
                 bcat = jnp.concatenate([bq, bk, bv_]).astype(dt)
@@ -225,7 +252,8 @@ class MultiHeadAttention(nn.Module):
                 v = v.reshape(B, Lk, self.num_heads, d_head)
                 ctx = _ATTENTION_IMPL(q, k, v, key_mask, math.sqrt(d_head),
                                       is_self=True)
-                return ctx.reshape(B, Lq, self.dim)
+                out = ctx.reshape(B, Lq, self.dim)
+                return out if residual is None else out + residual
             query = key = value = stdln_apply(query, gamma, beta, dt)
         if _QKV_IMPL is not None and blocks is not None:
             # one fused row-block-skipped matmul for all three projections:
@@ -247,7 +275,8 @@ class MultiHeadAttention(nn.Module):
         # dead q rows past each sample's valid length (kernels/attention.py)
         ctx = _ATTENTION_IMPL(q, k, v, key_mask, math.sqrt(d_head),
                               is_self=query is key)
-        return ctx.reshape(B, Lq, self.dim)
+        out = ctx.reshape(B, Lq, self.dim)
+        return out if residual is None else out + residual
 
 
 class _LinearParams(nn.Module):
@@ -318,10 +347,10 @@ class TransformerEncoderLayer(nn.Module):
         # param tree and math are identical either way
         pre = StdLayerNorm(self.d_model, dtype=self.dtype,
                            name="attention_prenorm")
-        h = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype,
+        x = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype,
                                name="self_attention")(x, x, x, key_mask,
-                                                      prenorm=pre.scales())
-        x = x + h
+                                                      prenorm=pre.scales(),
+                                                      residual=x)
         # self-attention: the key mask indexes the same rows x carries, so
         # it doubles as the FFN's row-validity source (row-block skip)
         return _ffn_block(self, x, deterministic, key_mask=key_mask)

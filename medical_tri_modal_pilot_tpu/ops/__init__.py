@@ -40,6 +40,7 @@ def _wrap_pallas_for_mesh(mesh):
     from jax.sharding import PartitionSpec as P
 
     from ..kernels.attention import pallas_masked_attention
+    from ..kernels.attn_block import pallas_attn_block
     from ..kernels.ffn import pallas_ffn
     from ..kernels.rowmm import (pallas_rowskip_affine,
                                  pallas_rowskip_ln_affine)
@@ -50,6 +51,25 @@ def _wrap_pallas_for_mesh(mesh):
 
     dp = mesh.shape[DATA_AXIS]
     mp = mesh.shape.get(MODEL_AXIS, 1)
+
+    def attn_block(x, gamma, beta, w, b, key_mask, scale, num_heads):
+        if x.shape[0] % dp != 0:
+            return pallas_attn_block(x, gamma, beta, w, b, key_mask,
+                                     scale, num_heads)
+        B, L, _ = x.shape
+        if key_mask is None:
+            key_mask = jnp.zeros((B, L), bool)
+        xs = P(DATA_AXIS, None, None)
+
+        def body(x, gamma, beta, w, b, m):
+            return pallas_attn_block(x, gamma, beta, w, b, m, scale,
+                                     num_heads)
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(xs, P(None), P(None), P(None, None), P(None),
+                      P(DATA_AXIS, None)),
+            out_specs=xs, check_rep=False)(x, gamma, beta, w, b, key_mask)
 
     def attention(q, k, v, key_mask, scale, is_self=False):
         B, _, H, _ = q.shape
@@ -186,7 +206,7 @@ def _wrap_pallas_for_mesh(mesh):
                 x, wv, bv, sv, bbv, wt, bt, st, bbt, feat_emb)
 
     return (attention, ffn, qkv_affine, qkv_ln_affine, window_attention,
-            swin_mlp, umse)
+            swin_mlp, umse, attn_block)
 
 
 def configure(use_pallas: bool, mesh=None) -> None:
@@ -204,7 +224,7 @@ def configure(use_pallas: bool, mesh=None) -> None:
         multi = mesh is not None and mesh.devices.size > 1
         if multi:
             (attention, ffn, qkv_affine, qkv_ln_affine, window_attention,
-             swin_mlp, umse) = _wrap_pallas_for_mesh(mesh)
+             swin_mlp, umse, attn_block) = _wrap_pallas_for_mesh(mesh)
             _modules.set_attention_impl(attention)
             # bare (non-LN) row-skip projections measured SLOWER than plain
             # XLA matmuls (58 vs 55 ms/step: the skip saves fewer flops than
@@ -215,18 +235,23 @@ def configure(use_pallas: bool, mesh=None) -> None:
             if mesh.shape.get(MODEL_AXIS, 1) > 1:
                 # plain XLA FFN: SPMD shards its matmuls over 'model'
                 # (parallel/mesh._tp_spec); the fused kernel would force
-                # the w1/w2 shards back together
+                # the w1/w2 shards back together. Same for the fused
+                # attention block, whose qkv weights shard over 'model'.
                 _modules.set_ffn_impl(None)
+                _modules.set_attn_block_impl(None)
             else:
                 _modules.set_ffn_impl(ffn)
+                _modules.set_attn_block_impl(attn_block)
             _swin.set_window_attention_impl(window_attention)
             _swin.set_swin_mlp_impl(swin_mlp)
             _umse.set_umse_impl(umse)
         else:
+            from ..kernels.attn_block import pallas_attn_block
             from ..kernels.rowmm import pallas_rowskip_ln_affine
             _modules.set_attention_impl(pallas_masked_attention)
             _modules.set_qkv_impl(None)   # see the multi-branch comment
             _modules.set_qkv_ln_impl(pallas_rowskip_ln_affine)
+            _modules.set_attn_block_impl(pallas_attn_block)
             _modules.set_ffn_impl(pallas_ffn)
             _swin.set_window_attention_impl(pallas_window_attention)
             _swin.set_swin_mlp_impl(pallas_swin_mlp)
@@ -238,6 +263,7 @@ def configure(use_pallas: bool, mesh=None) -> None:
         _modules.set_attention_impl(_modules.masked_softmax_attention)
         _modules.set_qkv_impl(None)
         _modules.set_qkv_ln_impl(None)
+        _modules.set_attn_block_impl(None)
         _modules.set_ffn_impl(None)
         _swin.set_window_attention_impl(xla_window_attention)
         _swin.set_swin_mlp_impl(xla_swin_mlp)

@@ -105,6 +105,42 @@ def verify_attention() -> dict:
     return out
 
 
+def verify_attn_block() -> dict:
+    """Fused StdLN->qkv->flash->+residual block (kernels/attn_block.py)
+    at the flagship vslt-stream shape, vs the unfused XLA composition.
+    Dead q blocks emit the pure residual (documented deviation, unread
+    downstream) — compared and cotangent-driven through live rows only."""
+    from medical_tri_modal_pilot_tpu.kernels.attn_block import (
+        pallas_attn_block, xla_attn_block)
+    rng = np.random.default_rng(7)
+    B, L, C, H = 4, 1024, 256, 4
+    x = jnp.asarray(rng.normal(0, 1, (B, L, C)), jnp.float32)
+    gamma = jnp.asarray(rng.normal(1, 0.1, C), jnp.float32)
+    beta = jnp.asarray(rng.normal(0, 0.1, C), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (C, 3 * C)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.05, (3 * C,)), jnp.float32)
+    lens = np.array([37, 411, 1000, 640])
+    m = jnp.asarray(np.arange(L)[None, :] >= lens[:, None])
+    # live q blocks at the kernel's 256-row q-tile granularity
+    live_rows = np.zeros((B, L), np.float32)
+    for i, n in enumerate(lens):
+        live_rows[i, :((n - 1) // 256 + 1) * 256] = 1.0
+    am = jnp.asarray(live_rows)[:, :, None]
+    scale = float(np.sqrt(C // H))
+
+    def run(fn):
+        def loss(x, gamma, beta, w, b):
+            o = fn(x, gamma, beta, w, b, m, scale, H) * am
+            return jnp.sum(o * jnp.cos(o.astype(jnp.float32))), o
+        return jax.jit(jax.grad(loss, argnums=tuple(range(5)),
+                                has_aux=True))(x, gamma, beta, w, b)
+
+    gp, op = run(pallas_attn_block)
+    gx, ox = run(xla_attn_block)
+    return {"attn_block/fwd": _err(op, ox),
+            "attn_block/bwd": max(_err(a, r) for a, r in zip(gp, gx))}
+
+
 def verify_ffn() -> dict:
     from medical_tri_modal_pilot_tpu.kernels.ffn import pallas_ffn, xla_ffn
     rng = np.random.default_rng(1)
@@ -250,6 +286,7 @@ def verify_all(tol: float = TOL) -> dict:
     with jax.default_matmul_precision("highest"):
         errors = {}
         errors.update(verify_attention())
+        errors.update(verify_attn_block())
         errors.update(verify_ffn())
         errors.update(verify_rowmm())
         errors.update(verify_rowmm_ln())
