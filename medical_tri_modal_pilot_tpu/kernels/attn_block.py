@@ -33,12 +33,23 @@ mbt_encoder.py:707) is preserved. Dead q blocks past a sample's last
 valid key emit the pure residual (x rows) — downstream reads none of
 them (they are masked as keys everywhere; the fused FFN skips them).
 
-Backward (phase 1): composed from the already-verified kernels — q/k/v
-are recomputed by the rowmm LN-projection forward (cheaper than saving
-them: their fwd HBM write was the point of this kernel), the flash
-backward consumes the saved pre-residual output + row stats, the rowmm
-LN backward maps dq/dk/dv to dx/dW/db, and the residual cotangent is a
-single fused XLA add.
+Backward: ONE kernel per sample (grid (B,)) mirroring the composed
+rowmm+flash+rowmm chain it replaces, with every intermediate kept in
+VMEM. The composed backward round-trips six [B, L, C] arrays through HBM
+per layer (write+read of recomputed q/k/v, then of dq/dk/dv) plus the
+reshape copies between the flat rowmm layout and the packed attention
+layout — ~400 MB of traffic per layer-step at the flagship shape. Here:
+phase 1 recomputes q/k/v blockwise into VMEM scratch (same flags
+semantics as the composed `_call_ln_fwd`: row blocks with no unmasked key
+are zeroed when L is block-aligned, everything real otherwise); phase 2
+runs the flash backward (kernels/attention.py `_bwd_kernel` math) into
+f32 VMEM scratches; phase 3 applies the LN-projection backward
+(kernels/rowmm.py `_bwd_ln_kernel` math, parameter grads accumulated
+across the sequential sample grid) and folds the residual cotangent into
+the dx write. Only x / dout / saved-attn / stats are read and dx written
+— the same per-sample row-block skip bounds as the forward. The composed
+chain is kept as `_bwd_composed` (test oracle for the flag-skip
+semantics; not dispatched).
 
 Reference behavior covered: encoder.py:23-28 (pre-norm LN -> MHA ->
 residual), attention.py:35-48 (scaled dot-product, -65504 mask fill).
@@ -57,7 +68,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .attention import (PAD_NEG, STATS_LANES, _bwd, _block_counts,
                         _block_sizes, _combined_mask, _last_valid,
                         _round_up)
-from .ffn import _ln_f32
+from .ffn import VAR_FLOOR, _ln_f32
 from .rowmm import BLOCK_R, _call_ln_bwd, _call_ln_fwd
 
 
@@ -241,7 +252,10 @@ def _fused_block_fwd(x, gamma, beta, w, b, mask, mult, num_heads):
     return out, (x, gamma, beta, w, b, mask, attn, stats, kcounts, qcounts)
 
 
-def _fused_block_bwd(mult, num_heads, res, g):
+def _bwd_composed(mult, num_heads, res, g):
+    """The original composed backward (rowmm recompute -> flash bwd ->
+    rowmm LN bwd), kept as the semantic oracle for the fused kernel —
+    including the documented flag-skip deviation on block-aligned masks."""
     x, gamma, beta, w, b, mask, attn, stats, kcounts, qcounts = res
     B, L, C = x.shape
     H = num_heads
@@ -272,6 +286,259 @@ def _fused_block_bwd(mult, num_heads, res, g):
     dx = dx_ln.reshape(B, L, C) + g          # residual cotangent
     return (dx, dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype),
             dw.astype(w.dtype), db.astype(b.dtype), None)
+
+
+def _bwd_fused_kernel(kc_ref, qc_ref, rc_ref, lf_ref, x_ref, g_ref, bt_ref,
+                      w_ref, b_ref, do_ref, attn_ref, st_ref, m_ref,
+                      dx_ref, dg_ref, dbt_ref, dw_ref, db_ref,
+                      q_s, k_s, v_s, dq_s, dk_s, dv_s, *, mult: float,
+                      block_q: int, block_k: int, ln_block: int,
+                      n_heads: int, d_head: int, d_model: int, l_real: int):
+    b = pl.program_id(0)
+    kcount = kc_ref[b]
+    qcount = qc_ref[b]
+    rcount = rc_ref[b]
+    H, D, C = n_heads, d_head, d_model
+    lp = x_ref.shape[1]
+    n_ln = lp // ln_block
+    dt = x_ref.dtype
+    gamma = g_ref[0].astype(jnp.float32)
+    beta = bt_ref[0].astype(jnp.float32)
+
+    @pl.when(b == 0)
+    def _init_param_grads():
+        dg_ref[...] = jnp.zeros_like(dg_ref[...])
+        dbt_ref[...] = jnp.zeros_like(dbt_ref[...])
+        dw_ref[...] = jnp.zeros_like(dw_ref[...])
+        db_ref[...] = jnp.zeros_like(db_ref[...])
+
+    # ---- phase 1: rebuild q/k/v into VMEM (rowmm _fwd_ln_kernel math;
+    # flag-zeroed blocks match the composed recompute's skip semantics)
+    wf = w_ref[...].astype(dt)
+    bf = b_ref[0].astype(dt)
+
+    def reb(rb, _):
+        off = rb * ln_block
+        xb = x_ref[0, pl.ds(off, ln_block)]
+        ln, _, _, _, _, _ = _ln_f32(xb.astype(jnp.float32), gamma, beta, C)
+        y = jax.lax.dot_general(ln.astype(dt), wf, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        y = (y.astype(dt) + bf) * (lf_ref[b, rb] != 0).astype(dt)
+        q_s[pl.ds(off, ln_block)] = y[:, :C]
+        k_s[pl.ds(off, ln_block)] = y[:, C:2 * C]
+        v_s[pl.ds(off, ln_block)] = y[:, 2 * C:]
+        return 0
+
+    jax.lax.fori_loop(0, rcount, reb, 0)
+
+    # ---- phase 2: flash backward (attention.py _bwd_kernel math) into
+    # f32 VMEM scratches
+    dq_s[...] = jnp.zeros((lp, C), jnp.float32)
+    dk_s[...] = jnp.zeros((lp, C), jnp.float32)
+    dv_s[...] = jnp.zeros((lp, C), jnp.float32)
+
+    def kbody(kb, _):
+        k_all = k_s[pl.ds(kb * block_k, block_k)]
+        v_all = v_s[pl.ds(kb * block_k, block_k)]
+        mblk = m_ref[0, :, pl.ds(kb * block_k, block_k)]          # [1, BK]
+        masked = jnp.broadcast_to(mblk != 0.0, (block_q, block_k))
+
+        def qbody(qi, inner):
+            dk_hs, dv_hs = inner
+            q_all = q_s[pl.ds(qi * block_q, block_q)]
+            do_all = do_ref[0, pl.ds(qi * block_q, block_q)].astype(
+                jnp.float32)
+            o_all = attn_ref[0, pl.ds(qi * block_q, block_q)].astype(
+                jnp.float32)
+            st_all = st_ref[0, pl.ds(qi * block_q, block_q)]
+            qrow = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), dimension=0)
+            row_valid = (qrow < l_real).astype(jnp.float32)
+
+            new_dk, new_dv = [], []
+            for h in range(H):
+                sl = slice(h * D, (h + 1) * D)
+                q = q_all[:, sl]
+                k = k_all[:, sl]
+                v = v_all[:, sl]
+                do = do_all[:, sl]
+                o = o_all[:, sl]
+                m_row = st_all[:, h * STATS_LANES:h * STATS_LANES + 1]
+                l_row = st_all[:, h * STATS_LANES + 1:h * STATS_LANES + 2]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * mult
+                s = jnp.where(masked, mblk.astype(jnp.float32), s)
+                p = jnp.exp(s - m_row) / l_row
+                pv = (p * row_valid).astype(v.dtype)
+                new_dv.append(dv_hs[h] + jax.lax.dot_general(
+                    pv, do.astype(v.dtype), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                dpart = jax.lax.dot_general(
+                    do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                delta = jnp.sum(do * o, axis=1, keepdims=True)
+                ds = p * (dpart - delta) * mult
+                ds = jnp.where(masked, 0.0, ds) * row_valid
+                dsd = ds.astype(k.dtype)
+                dq_upd = jax.lax.dot_general(
+                    dsd, k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dq_s[pl.ds(qi * block_q, block_q), sl] += dq_upd
+                new_dk.append(dk_hs[h] + jax.lax.dot_general(
+                    dsd, q.astype(k.dtype), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            return tuple(new_dk), tuple(new_dv)
+
+        zeros = tuple(jnp.zeros((block_k, D), jnp.float32)
+                      for _ in range(H))
+        dk_hs, dv_hs = jax.lax.fori_loop(0, qcount, qbody, (zeros, zeros))
+        dk_s[pl.ds(kb * block_k, block_k)] = jnp.concatenate(dk_hs, axis=1)
+        dv_s[pl.ds(kb * block_k, block_k)] = jnp.concatenate(dv_hs, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, kcount, kbody, 0)
+
+    # ---- phase 3: LN-projection backward (rowmm _bwd_ln_kernel math) +
+    # residual cotangent folded into the dx write
+    def lnb(rb, _):
+        off = rb * ln_block
+        flag = (lf_ref[b, rb] != 0).astype(jnp.float32)
+        xb = x_ref[0, pl.ds(off, ln_block)]
+        dob = do_ref[0, pl.ds(off, ln_block)]
+        # mirror the composed chain's dtype hops exactly: flash emits dt,
+        # the LN bwd concatenates in f32 then re-casts for the matmuls
+        dy = jnp.concatenate(
+            [dq_s[pl.ds(off, ln_block)].astype(dt),
+             dk_s[pl.ds(off, ln_block)].astype(dt),
+             dv_s[pl.ds(off, ln_block)].astype(dt)],
+            axis=1).astype(jnp.float32) * flag
+        dyd = dy.astype(dt)
+        _, xhat, c, sd, var, _mu = _ln_f32(xb.astype(jnp.float32), gamma,
+                                           beta, C)
+        ln = (xhat * gamma + beta).astype(dt)
+        db_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+        dw_ref[...] += jax.lax.dot_general(
+            ln, dyd, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dln = jax.lax.dot_general(
+            dyd, wf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dg_ref[...] += jnp.sum(dln * xhat, axis=0, keepdims=True)
+        dbt_ref[...] += jnp.sum(dln, axis=0, keepdims=True)
+        dxhat = dln * gamma
+        xmu = xhat / c
+        A = jnp.sum(dxhat * xmu, axis=1, keepdims=True)
+        vflag = (var > VAR_FLOOR).astype(jnp.float32)
+        dx = (c * (dxhat - jnp.mean(dxhat, axis=1, keepdims=True))
+              - (c * c) * A * xmu * vflag / ((C - 1) * sd))
+        dx_ref[0, pl.ds(off, ln_block)] = dx.astype(dt) + dob
+        return 0
+
+    def lnb_tail(rb, _):
+        off = rb * ln_block
+        dx_ref[0, pl.ds(off, ln_block)] = do_ref[0, pl.ds(off, ln_block)]
+        return 0
+
+    jax.lax.fori_loop(0, rcount, lnb, 0)
+    jax.lax.fori_loop(rcount, n_ln, lnb_tail, 0)
+
+
+def _bwd_block_sizes(lp: int):
+    """Tile sizes that evenly divide the forward's padded length (lp is
+    always a multiple of 128 and of its own block_q/block_k mix)."""
+    bq = 512 if lp % 512 == 0 else (256 if lp % 256 == 0 else 128)
+    lnb = 256 if lp % 256 == 0 else 128
+    return bq, lnb
+
+
+def _fused_block_bwd(mult, num_heads, res, g):
+    x, gamma, beta, w, b, mask, attn, stats, kcounts, qcounts = res
+    B, L, C = x.shape
+    H = num_heads
+    del kcounts, qcounts  # fwd-granularity counts; recomputed at bwd tiles
+    _, block_k = _block_sizes(L, L)
+    lp = attn.shape[1]
+    block_q, ln_block = _bwd_block_sizes(lp)
+    n_ln = lp // ln_block
+
+    last = _last_valid(mask)
+    kcounts = _block_counts(last, lp // block_k, block_k)
+    qcounts = _block_counts(last, lp // block_q, block_q)
+    rebcounts = jnp.minimum(
+        (jnp.maximum(kcounts * block_k, qcounts * block_q)
+         + ln_block - 1) // ln_block,
+        n_ln).astype(jnp.int32)
+    # flag semantics of rowmm._block_flags + _row_block_flags: per-block
+    # any-unmasked-key when L is block-aligned, every real block otherwise
+    if L % ln_block == 0:
+        alive = (mask[:, 0, :] == 0).reshape(B, L // ln_block, ln_block)
+        flags = jnp.any(alive, axis=-1).astype(jnp.int32)
+        flags = jnp.pad(flags, ((0, 0), (0, n_ln - L // ln_block)))
+    else:
+        nreal = (L + ln_block - 1) // ln_block
+        flags = jnp.concatenate(
+            [jnp.ones((B, nreal), jnp.int32),
+             jnp.zeros((B, n_ln - nreal), jnp.int32)], axis=1)
+
+    xp = jnp.pad(x, ((0, 0), (0, lp - L), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (0, lp - L), (0, 0)))
+    mp = _combined_mask(mask, lp)
+
+    kern = functools.partial(
+        _bwd_fused_kernel, mult=mult, block_q=block_q, block_k=block_k,
+        ln_block=ln_block, n_heads=H, d_head=C // H, d_model=C, l_real=L)
+    const2 = lambda b_, kc, qc, rc, lf: (0, 0)
+    persample = lambda b_, kc, qc, rc, lf: (b_, 0, 0)
+    dx, dgamma, dbeta, dw, db = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, lp, C), persample),              # x
+                pl.BlockSpec((1, C), const2),                     # gamma
+                pl.BlockSpec((1, C), const2),                     # beta
+                pl.BlockSpec((C, 3 * C), const2),                 # w
+                pl.BlockSpec((1, 3 * C), const2),                 # b
+                pl.BlockSpec((1, lp, C), persample),              # dout
+                pl.BlockSpec((1, lp, C), persample),              # attn
+                pl.BlockSpec((1, lp, H * STATS_LANES), persample),
+                pl.BlockSpec((1, 1, lp), persample),              # mask
+            ],
+            out_specs=[
+                pl.BlockSpec((1, lp, C), persample),              # dx
+                pl.BlockSpec((1, C), const2),                     # dgamma
+                pl.BlockSpec((1, C), const2),                     # dbeta
+                pl.BlockSpec((C, 3 * C), const2),                 # dw
+                pl.BlockSpec((1, 3 * C), const2),                 # db
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((lp, C), x.dtype),                     # q
+                pltpu.VMEM((lp, C), x.dtype),                     # k
+                pltpu.VMEM((lp, C), x.dtype),                     # v
+                pltpu.VMEM((lp, C), jnp.float32),                 # dq
+                pltpu.VMEM((lp, C), jnp.float32),                 # dk
+                pltpu.VMEM((lp, C), jnp.float32),                 # dv
+            ],
+        ),
+        # whole-sample scratches x double buffering exceed the default
+        # 16MB scoped-vmem budget; v5e VMEM is far larger
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, lp, C), x.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(kcounts, qcounts, rebcounts, flags,
+      xp, gamma[None, :], beta[None, :], w, b[None, :], gp, attn, stats, mp)
+    return (dx[:, :L], dgamma[0].astype(gamma.dtype),
+            dbeta[0].astype(beta.dtype), dw.astype(w.dtype),
+            db[0].astype(b.dtype), None)
 
 
 _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)

@@ -125,6 +125,38 @@ def test_grads_match_composition(B, L, C, H):
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
+@pytest.mark.parametrize("hole", [False, True])
+def test_fused_bwd_matches_composed(hole):
+    """The one-kernel backward vs the composed rowmm+flash+rowmm chain it
+    replaced (`_bwd_composed`), including the documented flag-skip
+    semantics on block-aligned masks: with L % 256 == 0, a 256-row block
+    containing no unmasked key contributes nothing to any gradient and its
+    dx is the bare residual cotangent."""
+    from medical_tri_modal_pilot_tpu.kernels.attn_block import (
+        _bwd_composed, _fused_block_bwd, _fused_block_fwd)
+    B, L, C, H = 2, 768, 64, 2
+    x, gamma, beta, w, b = _mk(B, L, C, seed=6)
+    if hole:
+        # block 1 (rows 256..511) fully masked -> flag-skipped
+        mask = (jnp.arange(L) >= 256) & (jnp.arange(L) < 512)
+        mask = jnp.broadcast_to(mask, (B, L))
+    else:
+        _, mask = _lengths_mask(B, L)
+    m3 = mask[:, None, :].astype(jnp.int8)
+    mult = 1.0 / np.sqrt(C // H)
+    out, res = _fused_block_fwd(x, gamma, beta, w, b, m3, mult, H)
+    cot = jax.random.normal(jax.random.PRNGKey(11), out.shape, out.dtype)
+    gf = _fused_block_bwd(mult, H, res, cot)
+    gc = _bwd_composed(mult, H, res, cot)
+    for a, e, name in zip(gf, gc, ["dx", "dgamma", "dbeta", "dw", "db"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+    if hole:
+        # flag-skipped rows: dx is exactly the residual cotangent
+        np.testing.assert_array_equal(np.asarray(gf[0][:, 256:512]),
+                                      np.asarray(cot[:, 256:512]))
+
+
 def test_bf16_forward():
     B, L, C, H = 2, 256, 64, 2
     x, gamma, beta, w, b = _mk(B, L, C, seed=5)

@@ -20,7 +20,10 @@ Usage:  python tools/verify_kernels_tpu.py          # prints one JSON line
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
