@@ -10,6 +10,17 @@ import random
 import sys
 import time
 
+# Honor JAX_PLATFORMS programmatically: the axon TPU plugin registers its
+# backend regardless of the environment variable, so `JAX_PLATFORMS=cpu
+# python 2_train.py ...` (the documented way to force CPU — subprocess
+# tests rely on it) silently landed on the tunneled TPU without this.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+    try:
+        _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 import numpy as np
 
 from medical_tri_modal_pilot_tpu.config import parse_config

@@ -9,6 +9,15 @@ import os
 import random
 import sys
 
+# Honor JAX_PLATFORMS programmatically — the axon TPU plugin registers its
+# backend regardless of the environment variable (see 2_train.py).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+    try:
+        _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 import numpy as np
 
 from medical_tri_modal_pilot_tpu.config import parse_config
