@@ -194,8 +194,12 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU-native extensions (not in reference; all have safe defaults) ---
     parser.add_argument('--precision', type=str, default='bf16', choices=['bf16', 'fp32'],
                         help='activation precision; params/optimizer stay fp32')
-    parser.add_argument('--use-pallas', type=int, default=1, choices=[0, 1],
-                        help='use Pallas fused attention on TPU (XLA fallback otherwise)')
+    parser.add_argument('--use-pallas', type=int, default=1,
+                        choices=[0, 1, 2],
+                        help='use Pallas fused kernels on TPU (XLA fallback '
+                             'otherwise); 2 forces them on any backend via '
+                             'pallas interpret mode (slow — e2e kernel-'
+                             'dispatch testing on CPU)')
     parser.add_argument('--worker-type', type=str, default='thread',
                         choices=['thread', 'process', 'native'],
                         help='data-loader worker pool: GIL-releasing threads '

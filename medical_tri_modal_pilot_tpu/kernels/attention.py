@@ -90,9 +90,10 @@ def _block_counts(last: jnp.ndarray, n_blocks: int, block: int) -> jnp.ndarray:
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(kc_ref, qc_ref, q_ref, k_ref, v_ref, m_ref, o_ref, st_ref, *,
-                scale: float, l_real: int, n_kblocks: int, block_k: int,
-                combined_mask: bool, n_heads: int, d_head: int):
+def _fwd_kernel(kc_ref, qc_ref, q_ref, k_ref, v_ref, m_ref, o_ref,
+                st_ref=None, *, scale: float, l_real: int, n_kblocks: int,
+                block_k: int, combined_mask: bool, n_heads: int,
+                d_head: int, lean: bool = False):
     """One program per (sample, q-block); ALL heads are processed in an
     unrolled head loop over contiguous d_head lane slices of a
     [block, H*D] tile (the natural packed layout out of the qkv
@@ -114,10 +115,12 @@ def _fwd_kernel(kc_ref, qc_ref, q_ref, k_ref, v_ref, m_ref, o_ref, st_ref, *,
     @pl.when(qi >= qcount)
     def _dead_block():
         o_ref[0] = jnp.zeros_like(o_ref[0])
-        st = jnp.concatenate(             # m=0, l=1: bwd-safe (never read)
-            [jnp.zeros((n, 1), jnp.float32), jnp.ones((n, 1), jnp.float32),
-             jnp.zeros((n, STATS_LANES - 2), jnp.float32)], axis=1)
-        st_ref[0] = jnp.concatenate([st] * H, axis=1)
+        if not lean:
+            st = jnp.concatenate(         # m=0, l=1: bwd-safe (never read)
+                [jnp.zeros((n, 1), jnp.float32),
+                 jnp.ones((n, 1), jnp.float32),
+                 jnp.zeros((n, STATS_LANES - 2), jnp.float32)], axis=1)
+            st_ref[0] = jnp.concatenate([st] * H, axis=1)
 
     @pl.when(qi < qcount)
     def _live_block():
@@ -166,10 +169,11 @@ def _fwd_kernel(kc_ref, qc_ref, q_ref, k_ref, v_ref, m_ref, o_ref, st_ref, *,
         o_ref[0] = jnp.concatenate(
             [(a / l).astype(o_ref.dtype) for a, l in zip(accs, l_safes)],
             axis=1)
-        pad = jnp.zeros((n, STATS_LANES - 2), jnp.float32)
-        st_ref[0] = jnp.concatenate(
-            [jnp.concatenate([m, l, pad], axis=1)
-             for m, l in zip(m_is, l_safes)], axis=1)
+        if not lean:
+            pad = jnp.zeros((n, STATS_LANES - 2), jnp.float32)
+            st_ref[0] = jnp.concatenate(
+                [jnp.concatenate([m, l, pad], axis=1)
+                 for m, l in zip(m_is, l_safes)], axis=1)
 
 
 def _pad_mask(mask, lq_pad: int, lk_pad: int):
@@ -192,7 +196,7 @@ def _combined_mask(mask, lk_pad: int):
                    constant_values=PAD_NEG)
 
 
-def _fwd(q, k, v, mask, scale, is_self: bool):
+def _fwd(q, k, v, mask, scale, is_self: bool, lean: bool = False):
     B, Lq, H, D = q.shape
     Lk = k.shape[1]
     block_q, block_k = _block_sizes(Lq, Lk)
@@ -240,35 +244,36 @@ def _fwd(q, k, v, mask, scale, is_self: bool):
     kern = functools.partial(
         _fwd_kernel, scale=scale, l_real=Lk,
         n_kblocks=n_kblocks, block_k=block_k,
-        combined_mask=broadcast_q, n_heads=H, d_head=D)
-    out, stats = pl.pallas_call(
+        combined_mask=broadcast_q, n_heads=H, d_head=D, lean=lean)
+    qrow = lambda b, qi, kc, qc: (b, qi, 0)
+    out_specs = [pl.BlockSpec((1, block_q, H * D), qrow)]
+    out_shape = [jax.ShapeDtypeStruct((B, lq_pad, H * D), q.dtype)]
+    if not lean:
+        out_specs.append(
+            pl.BlockSpec((1, block_q, H * STATS_LANES), qrow))
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, lq_pad, H * STATS_LANES),
+                                 jnp.float32))
+    outs = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, H * D),
-                             lambda b, qi, kc, qc: (b, qi, 0)),
+                pl.BlockSpec((1, block_q, H * D), qrow),
                 pl.BlockSpec((1, lk_pad, H * D),
                              lambda b, qi, kc, qc: (b, 0, 0)),
                 pl.BlockSpec((1, lk_pad, H * D),
                              lambda b, qi, kc, qc: (b, 0, 0)),
                 m_spec,
             ],
-            out_specs=[
-                pl.BlockSpec((1, block_q, H * D),
-                             lambda b, qi, kc, qc: (b, qi, 0)),
-                pl.BlockSpec((1, block_q, H * STATS_LANES),
-                             lambda b, qi, kc, qc: (b, qi, 0)),
-            ],
+            out_specs=out_specs,
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((B, lq_pad, H * D), q.dtype),
-            jax.ShapeDtypeStruct((B, lq_pad, H * STATS_LANES), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=_interpret(),
     )(kcounts, qcounts, qp, kp, vp, mp)
-    out = out.reshape(B, lq_pad, H, D)[:, :Lq]
+    out = outs[0].reshape(B, lq_pad, H, D)[:, :Lq]
+    stats = None if lean else outs[1]
     return out, stats, kcounts, qcounts
 
 
@@ -464,7 +469,9 @@ def _bwd(scale, res, g):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash_attention(q, k, v, mask, scale, is_self):
-    out, _, _, _ = _fwd(q, k, v, mask, scale, is_self)
+    # primal body == eval/serving path (training traces _flash_fwd):
+    # skip the backward-only row-stats output entirely
+    out, _, _, _ = _fwd(q, k, v, mask, scale, is_self, lean=True)
     return out
 
 

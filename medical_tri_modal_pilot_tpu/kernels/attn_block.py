@@ -77,9 +77,15 @@ def _interpret() -> bool:
 
 
 def _fwd_kernel(kc_ref, qc_ref, x_ref, g_ref, bt_ref, w_ref, b_ref, m_ref,
-                o_ref, attn_ref, st_ref, k_s, v_s, *, mult: float,
-                block_q: int, block_k: int, n_heads: int, d_head: int,
-                d_model: int):
+                *refs, mult: float, block_q: int, block_k: int,
+                n_heads: int, d_head: int, d_model: int, lean: bool):
+    # lean (inference) calls carry only the o_ref output; training-forward
+    # calls add the pre-residual attention + row stats the backward needs
+    if lean:
+        o_ref, k_s, v_s = refs
+        attn_ref = st_ref = None
+    else:
+        o_ref, attn_ref, st_ref, k_s, v_s = refs
     b = pl.program_id(0)
     qi = pl.program_id(1)
     kcount = kc_ref[b]
@@ -116,11 +122,13 @@ def _fwd_kernel(kc_ref, qc_ref, x_ref, g_ref, bt_ref, w_ref, b_ref, m_ref,
     def _dead_block():
         xq = x_ref[0, pl.ds(qi * block_q, block_q)]
         o_ref[0] = xq                              # pure residual
-        attn_ref[0] = jnp.zeros_like(attn_ref[0])
-        st = jnp.concatenate(              # m=0, l=1: bwd-safe (never read)
-            [jnp.zeros((n, 1), jnp.float32), jnp.ones((n, 1), jnp.float32),
-             jnp.zeros((n, STATS_LANES - 2), jnp.float32)], axis=1)
-        st_ref[0] = jnp.concatenate([st] * H, axis=1)
+        if not lean:
+            attn_ref[0] = jnp.zeros_like(attn_ref[0])
+            st = jnp.concatenate(          # m=0, l=1: bwd-safe (never read)
+                [jnp.zeros((n, 1), jnp.float32),
+                 jnp.ones((n, 1), jnp.float32),
+                 jnp.zeros((n, STATS_LANES - 2), jnp.float32)], axis=1)
+            st_ref[0] = jnp.concatenate([st] * H, axis=1)
 
     @pl.when(qi < qcount)
     def _live_block():
@@ -167,15 +175,17 @@ def _fwd_kernel(kc_ref, qc_ref, x_ref, g_ref, bt_ref, w_ref, b_ref, m_ref,
         l_safes = [jnp.maximum(l, 1e-30) for l in l_is]
         attn = jnp.concatenate(
             [(a / l).astype(dt) for a, l in zip(accs, l_safes)], axis=1)
-        attn_ref[0] = attn
         o_ref[0] = xq + attn                       # fused residual
-        pad = jnp.zeros((n, STATS_LANES - 2), jnp.float32)
-        st_ref[0] = jnp.concatenate(
-            [jnp.concatenate([m, l, pad], axis=1)
-             for m, l in zip(m_is, l_safes)], axis=1)
+        if not lean:
+            attn_ref[0] = attn
+            pad = jnp.zeros((n, STATS_LANES - 2), jnp.float32)
+            st_ref[0] = jnp.concatenate(
+                [jnp.concatenate([m, l, pad], axis=1)
+                 for m, l in zip(m_is, l_safes)], axis=1)
 
 
-def _fwd(x, gamma, beta, w, b, mask, mult: float, num_heads: int):
+def _fwd(x, gamma, beta, w, b, mask, mult: float, num_heads: int,
+         lean: bool = False):
     B, L, C = x.shape
     H = num_heads
     D = C // H
@@ -191,8 +201,20 @@ def _fwd(x, gamma, beta, w, b, mask, mult: float, num_heads: int):
 
     kern = functools.partial(
         _fwd_kernel, mult=mult, block_q=block_q, block_k=block_k,
-        n_heads=H, d_head=D, d_model=C)
-    out, attn, stats = pl.pallas_call(
+        n_heads=H, d_head=D, d_model=C, lean=lean)
+    qrow = lambda b, qi, kc, qc: (b, qi, 0)
+    out_specs = [pl.BlockSpec((1, block_q, C), qrow)]
+    out_shape = [jax.ShapeDtypeStruct((B, lp, C), x.dtype)]
+    if not lean:
+        out_specs += [
+            pl.BlockSpec((1, block_q, C), qrow),
+            pl.BlockSpec((1, block_q, H * STATS_LANES), qrow),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((B, lp, C), x.dtype),
+            jax.ShapeDtypeStruct((B, lp, H * STATS_LANES), jnp.float32),
+        ]
+    outs = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -205,27 +227,19 @@ def _fwd(x, gamma, beta, w, b, mask, mult: float, num_heads: int):
                 pl.BlockSpec((1, 3 * C), lambda b, qi, kc, qc: (0, 0)),
                 pl.BlockSpec((1, 1, lp), lambda b, qi, kc, qc: (b, 0, 0)),
             ],
-            out_specs=[
-                pl.BlockSpec((1, block_q, C),
-                             lambda b, qi, kc, qc: (b, qi, 0)),
-                pl.BlockSpec((1, block_q, C),
-                             lambda b, qi, kc, qc: (b, qi, 0)),
-                pl.BlockSpec((1, block_q, H * STATS_LANES),
-                             lambda b, qi, kc, qc: (b, qi, 0)),
-            ],
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((lp, C), x.dtype),
                 pltpu.VMEM((lp, C), x.dtype),
             ],
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((B, lp, C), x.dtype),
-            jax.ShapeDtypeStruct((B, lp, C), x.dtype),
-            jax.ShapeDtypeStruct((B, lp, H * STATS_LANES), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=_interpret(),
     )(kcounts, qcounts, xp, gamma[None, :], beta[None, :], w, b[None, :],
       mp)
+    if lean:
+        return outs[0][:, :L], None, None, kcounts, qcounts, lp
+    out, attn, stats = outs
     return out[:, :L], attn, stats, kcounts, qcounts, lp
 
 
@@ -242,7 +256,11 @@ def _row_block_flags(mask, L: int):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def _fused_block(x, gamma, beta, w, b, mask, mult, num_heads):
-    out, _, _, _, _, _ = _fwd(x, gamma, beta, w, b, mask, mult, num_heads)
+    # the primal body only runs when nothing differentiates through the
+    # call (eval / serving steps — training traces _fused_block_fwd
+    # instead), so it can skip the backward-only attn/stats HBM writes
+    out, _, _, _, _, _ = _fwd(x, gamma, beta, w, b, mask, mult, num_heads,
+                              lean=True)
     return out
 
 

@@ -395,12 +395,17 @@ def _ffn_block(layer: nn.Module, x, deterministic: bool, key_mask=None):
                       dtype=layer.dtype, name="feed_forward")
     if _FFN_IMPL is None:
         return x + ffn(prenorm(x), deterministic)
-    gamma, beta = prenorm.scales()
-    w1, b1, w2, b2 = ffn.weights()
     seed = None
     if not deterministic and layer.dropout_p > 0.0:
+        # the fused kernel's in-kernel dropout uses the TPU hardware PRNG
+        # (pltpu.prng_*), which has no interpret-mode lowering off-TPU —
+        # --use-pallas 2 (forced kernels on CPU) composes this half instead
+        if jax.default_backend() != "tpu":
+            return x + ffn(prenorm(x), deterministic)
         seed = jax.random.randint(layer.make_rng("dropout"), (2,),
                                   -2 ** 31, 2 ** 31 - 1, dtype=jnp.int32)
+    gamma, beta = prenorm.scales()
+    w1, b1, w2, b2 = ffn.weights()
     return _FFN_IMPL(x, gamma, beta, w1, b1, w2, b2, p=layer.dropout_p,
                      deterministic=deterministic, seed=seed,
                      block_valid=_ffn_row_blocks(x, key_mask))

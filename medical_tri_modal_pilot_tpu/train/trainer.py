@@ -240,7 +240,11 @@ class Trainer:
         from .. import ops
         # mesh-aware: on a multi-device mesh the kernels are shard_map
         # wrapped so SPMD never all-gathers their operands (ops docstring)
-        ops.configure(bool(cfg.use_pallas) and jax.default_backend() == "tpu",
+        # --use-pallas 2 forces the kernels on any backend (pallas
+        # interpret mode off-TPU — slow, for e2e kernel-dispatch testing)
+        ops.configure(cfg.use_pallas == 2 or
+                      (bool(cfg.use_pallas)
+                       and jax.default_backend() == "tpu"),
                       mesh=self.mesh)
         self.schedule = build_schedule(cfg, max(iters_per_epoch, 1))
         from ..models.registry import frozen_img_trunk

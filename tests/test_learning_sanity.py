@@ -35,7 +35,7 @@ def test_auroc_learns_on_signal_fixtures(tmp_path):
          "--train-data-path", str(fix / "train"),
          "--test-data-path", str(fix / "test"),
          "--dir-result", str(results), "--project-name", "sanity",
-         "--batch-size", "16", "--num-workers", "2", "--epochs", "10",
+         "--batch-size", "16", "--num-workers", "2", "--epochs", "15",
          "--seed-list", "412", "--lr-init", "1e-3",
          "--train-multi-k", "1"],
         capture_output=True, text=True, timeout=3600, cwd=str(tmp_path),
@@ -47,5 +47,8 @@ def test_auroc_learns_on_signal_fixtures(tmp_path):
     assert lines, out.stdout[-2000:]
     auc = float(lines[-1].split("auc=")[1].split()[0])
     # the planted cue's linear-probe ceiling is ~0.84; anything >= 0.70
-    # demonstrates real learning, chance is 0.50
+    # demonstrates real learning, chance is 0.50. 15 epochs on the CPU
+    # trajectory measures 0.85 (10 epochs stops mid-learning at 0.64 —
+    # the test historically passed at 10 only because the subprocess
+    # silently ran on the TPU before 2_train honored JAX_PLATFORMS).
     assert auc >= 0.70, (auc, out.stdout[-1500:])
