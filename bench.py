@@ -356,6 +356,24 @@ def main() -> None:
     except Exception:
         pass
 
+    # inference/serving throughput: the jitted eval step (fwd-only,
+    # deterministic). The custom-vjp primal path runs the lean kernels
+    # (no backward-only attn/stats HBM writes).
+    eval_ms = None
+    try:
+        probs, eloss = trainer._eval_step(trainer.state, dbatch)
+        _ = float(eloss)
+        best_ev = float("inf")
+        for _ in range(WINDOWS):
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                probs, eloss = trainer._eval_step(trainer.state, dbatch)
+            _ = float(eloss)
+            best_ev = min(best_ev, time.perf_counter() - t0)
+        eval_ms = best_ev / ITERS * 1000
+    except Exception:
+        pass
+
     calibrated_tflops = _calibrate_matmul_tflops()
     mfu = (model_flops / (best_dt / ITERS) / (calibrated_tflops * 1e12)
            if model_flops else None)
@@ -388,6 +406,10 @@ def main() -> None:
             "train_multi_k4_samples_per_sec_per_chip":
                 round(BATCH / (multi_ms / 1000) / n_chips, 2)}
            if multi_ms else {}),
+        **({"eval_step_ms": round(eval_ms, 1),
+            "eval_samples_per_sec_per_chip":
+                round(BATCH / (eval_ms / 1000) / n_chips, 2)}
+           if eval_ms else {}),
         "calibrated_matmul_tflops": round(calibrated_tflops, 1),
         "mfu_vs_calibrated": round(mfu, 3) if mfu is not None else None,
         "mfu_note": ("flops = XLA-equivalent step (incl. padding compute "
