@@ -162,6 +162,11 @@ def _wait_for_backend(max_wait_s: float = 1200.0) -> bool:
     deadline = time.time() + max_wait_s
     delay = 20.0
     last_err = ""
+    # when the environment configures a device platform (axon/tpu), a
+    # probe that silently fell back to CPU is NOT success — benching the
+    # headline metric on host CPU would be a silent ~1000x regression
+    expected = os.environ.get("JAX_PLATFORMS", "")
+    need_device = bool(expected) and expected != "cpu"
     while True:
         try:
             r = subprocess.run(
@@ -171,9 +176,14 @@ def _wait_for_backend(max_wait_s: float = 1200.0) -> bool:
                  "jax.default_backend())"],
                 capture_output=True, text=True, timeout=240)
             if r.returncode == 0:
-                return True
-            last_err = (r.stderr or "").strip().splitlines()[-1:] or [""]
-            last_err = last_err[0][:300]
+                backend = (r.stdout.split() or [""])[-1]
+                if not need_device or backend != "cpu":
+                    return True
+                last_err = (f"backend fell back to '{backend}' "
+                            f"(JAX_PLATFORMS={expected})")
+            else:
+                tail = (r.stderr or "").strip().splitlines()[-1:] or [""]
+                last_err = tail[0][:300]
         except subprocess.TimeoutExpired:
             last_err = "backend probe timed out (240s)"
         if time.time() + delay > deadline:

@@ -134,7 +134,12 @@ def transform_image(img: Image.Image, kind: str, size: int,
 
 
 def _transform_pil(img: Image.Image, kind: str, size: int,
-                   rng: Optional[random.Random] = None) -> Image.Image:
+                   rng: Optional[random.Random] = None,
+                   after_prefix: bool = False) -> Image.Image:
+    """``after_prefix``: the deterministic cacheable prefix (see _PREFIX —
+    the fixed resize for resize_affine_crop) was already applied by the
+    caller (the decoded-image LRU); keeping the one transform-order source
+    of truth here prevents cold/warm path drift."""
     rng = rng or random
     if kind == "random":
         img = _random_resized_crop(img, size, rng)
@@ -148,7 +153,8 @@ def _transform_pil(img: Image.Image, kind: str, size: int,
         img = _resize_shorter(img, round(size * 1.142))
         img = _center_crop(img, size)
     elif kind == "resize_affine_crop":
-        img = _resize_shorter(img, round(size * 1.142))
+        if not after_prefix:
+            img = _resize_shorter(img, round(size * 1.142))
         img = _random_affine(img, rng)
         img = _center_crop(img, size)
     elif kind == "center":
@@ -213,9 +219,17 @@ _CACHE: Optional[_LRUBytes] = _LRUBytes(256 * 2 ** 20)
 
 def set_image_cache_mb(mb: int) -> None:
     """Resize (or with 0, disable) the decoded-image LRU
-    (--image-cache-mb)."""
+    (--image-cache-mb). No-op when the budget is unchanged — dataset
+    construction calls this per split/seed/checkpoint, and discarding a
+    warm cache would re-decode every jpeg (3_test.py walks checkpoints,
+    rebuilding the loader each time)."""
     global _CACHE
-    _CACHE = _LRUBytes(mb * 2 ** 20) if mb > 0 else None
+    budget = mb * 2 ** 20
+    if _CACHE is not None and _CACHE.budget == budget:
+        return
+    if _CACHE is None and mb <= 0:
+        return
+    _CACHE = _LRUBytes(budget) if mb > 0 else None
 
 
 def _decode_eq(path: str) -> Image.Image:
@@ -245,15 +259,5 @@ def load_cxr(path: str, kind: str, size: int,
         if det_resize:
             img = _resize_shorter(img, round(size * 1.142))
         _CACHE.put(key, np.asarray(img, dtype=np.uint8))
-    rng = rng or random
-    if kind == "random":
-        img = _random_resized_crop(img, size, rng)
-    elif kind == "randaug":
-        img = _rand_augment(img, rng)
-        img = _random_resized_crop(img, size, rng)
-    elif kind == "resize_affine_crop":
-        img = _random_affine(img, rng)
-        img = _center_crop(img, size)
-    else:  # pragma: no cover - fully_det kinds returned above
-        img = _transform_pil(img, kind, size, rng)
-    return to_tensor(img)
+    return to_tensor(_transform_pil(img, kind, size, rng,
+                                    after_prefix=True))

@@ -246,12 +246,15 @@ def _fwd(x, gamma, beta, w, b, mask, mult: float, num_heads: int,
 def _row_block_flags(mask, L: int):
     """rowmm-granularity (BLOCK_R) per-block validity over the flattened
     [B*L] row order: a block is live when any of its rows is an unmasked
-    key (same rule as modules._ffn_row_blocks)."""
+    key (same rule as modules._ffn_row_blocks, including its all-masked-
+    sample fallback — such samples attend uniformly over every real key,
+    so their projections must be real, not zeros)."""
     B = mask.shape[0]
     if L % BLOCK_R != 0:
         return None
     alive = (mask[:, 0, :] == 0).reshape(B, L // BLOCK_R, BLOCK_R)
-    return jnp.any(alive, axis=-1)
+    flags = jnp.any(alive, axis=-1)
+    return flags | jnp.logical_not(flags.any(axis=-1, keepdims=True))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -488,11 +491,14 @@ def _fused_block_bwd(mult, num_heads, res, g):
          + ln_block - 1) // ln_block,
         n_ln).astype(jnp.int32)
     # flag semantics of rowmm._block_flags + _row_block_flags: per-block
-    # any-unmasked-key when L is block-aligned, every real block otherwise
+    # any-unmasked-key when L is block-aligned (all-masked samples keep
+    # every block — uniform-attention fallback), every real block otherwise
     if L % ln_block == 0:
         alive = (mask[:, 0, :] == 0).reshape(B, L // ln_block, ln_block)
-        flags = jnp.any(alive, axis=-1).astype(jnp.int32)
-        flags = jnp.pad(flags, ((0, 0), (0, n_ln - L // ln_block)))
+        flags = jnp.any(alive, axis=-1)
+        flags = flags | jnp.logical_not(flags.any(axis=-1, keepdims=True))
+        flags = jnp.pad(flags.astype(jnp.int32),
+                        ((0, 0), (0, n_ln - L // ln_block)))
     else:
         nreal = (L + ln_block - 1) // ln_block
         flags = jnp.concatenate(

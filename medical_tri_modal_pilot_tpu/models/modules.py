@@ -379,7 +379,12 @@ def _ffn_row_blocks(x, key_mask):
     if L % BLOCK_R != 0 or key_mask.shape != (B, L):
         return None
     alive = jnp.logical_not(key_mask).reshape(B, L // BLOCK_R, BLOCK_R)
-    return jnp.any(alive, axis=-1)
+    flags = jnp.any(alive, axis=-1)
+    # all-masked sample: the attention kernels deliberately fall back to
+    # uniform attention over every real key (the reference's txt len==3
+    # -> 0 behavior, mbt_encoder.py:707), so those rows ARE read
+    # downstream — keep every block live instead of passing x through
+    return flags | jnp.logical_not(flags.any(axis=-1, keepdims=True))
 
 
 def _ffn_block(layer: nn.Module, x, deterministic: bool, key_mask=None):

@@ -12,6 +12,10 @@ swin), best of 4 interleaved windows:
         the row-skip saves fewer flops than the lost XLA fusion and the
         concat-output slice copies cost; hence ops.configure dispatches
         only the LN-fused variant (_QKV_IMPL stays None).
+
+(The numbers above predate kernels/attn_block.py; this tool now disables
+the fused attention block so the two projection variants still compile
+distinct programs — production dispatch prefers the fused block.)
 """
 import time
 import numpy as np
@@ -50,6 +54,11 @@ rng = jax.random.PRNGKey(0)
 steps = {}
 VARIANTS = (("lnfused3", None, pallas_rowskip_ln_affine),
             ("plain", None, None))
+# the fused attention-block impl short-circuits MultiHeadAttention before
+# either QKV variant is consulted — disable it so the A/B actually
+# compiles two different programs (it is what ops.configure dispatches in
+# production; this tool isolates the projection-variant question)
+M.set_attn_block_impl(None)
 for name, impl, lnimpl in VARIANTS:
     M.set_qkv_impl(impl)
     M.set_qkv_ln_impl(lnimpl)

@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import zlib
 import subprocess
 import sys
 
@@ -112,8 +113,12 @@ def _synthesize_assets(sandbox: str) -> None:
                 if os.path.exists(out):
                     continue
                 os.makedirs(os.path.dirname(out), exist_ok=True)
+                # zlib.crc32, not hash(): str hashing is
+                # PYTHONHASHSEED-randomized per process, which would
+                # make the generated assets (and therefore the trained
+                # weights and GOLDEN_PARITY.json) unreproducible
                 rng = np.random.default_rng(
-                    abs(hash(rel)) % (2 ** 32))
+                    zlib.crc32(rel.encode()) & 0xFFFFFFFF)
                 try:
                     ar = float(rel.rsplit("aspect_ratio_", 1)[1]
                                .rsplit(".jpg", 1)[0])
@@ -136,7 +141,8 @@ def _synthesize_assets(sandbox: str) -> None:
     if not os.path.exists(h5_path):
         with h5py.File(h5_path, "w") as f:
             for note in sorted(notes):
-                rng = np.random.default_rng(abs(hash(note)) % (2 ** 32))
+                rng = np.random.default_rng(
+                    zlib.crc32(note.encode()) & 0xFFFFFFFF)
                 L = int(rng.integers(4, 127))
                 f.create_group(note).create_dataset(
                     "embedding",
