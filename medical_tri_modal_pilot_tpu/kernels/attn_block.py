@@ -24,14 +24,18 @@ StdLayerNorm math (kernels/ffn.py _ln_f32), the same dt-cast dot chain as
 kernels/rowmm.py _fwd_ln_kernel (per-output-column identical), and the
 same flash inner loop as kernels/attention.py _fwd_kernel.
 
-Masking follows kernels/attention.py's 2-D key-mask contract (this
-fused form is self-attention-only; 3-D block-mask callers keep the
-composed path): valid-but-masked keys score MASK_FILL_VALUE, array
-padding PAD_NEG, all-masked samples fall back to full coverage so the
-reference's uniform-over-real-keys behavior (txt length==3 -> 0,
-mbt_encoder.py:707) is preserved. Dead q blocks past a sample's last
-valid key emit the pure residual (x rows) — downstream reads none of
-them (they are masked as keys everywhere; the fused FFN skips them).
+Masking follows kernels/attention.py's contract (self-attention only —
+query/key/value must be one stream). 2-D key masks: valid-but-masked
+keys score MASK_FILL_VALUE, array padding PAD_NEG, all-masked samples
+fall back to full coverage so the reference's uniform-over-real-keys
+behavior (txt length==3 -> 0, mbt_encoder.py:707) is preserved; dead q
+blocks past a sample's last valid key emit the pure residual (x rows) —
+downstream reads none of them (they are masked as keys everywhere; the
+fused FFN skips them). 3-D [B, Lq, Lk] block masks (the multitoken MBT
+variants, mbt_encoder.py:381-423): the per-q-row mask block streams in,
+masked pairs score MASK_FILL_VALUE, padding keys beyond the real length
+are PAD_NEG by column index, and no per-sample block skipping applies (a
+fully-masked row's uniform output depends on every real key).
 
 Backward: ONE kernel per sample (grid (B,)) mirroring the composed
 rowmm+flash+rowmm chain it replaces, with every intermediate kept in
@@ -65,9 +69,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..constants import MASK_FILL_VALUE
 from .attention import (PAD_NEG, STATS_LANES, _bwd, _block_counts,
                         _block_sizes, _combined_mask, _last_valid,
-                        _round_up)
+                        _pad_mask, _round_up)
 from .ffn import VAR_FLOOR, _ln_f32
 from .rowmm import BLOCK_R, _call_ln_bwd, _call_ln_fwd
 
@@ -78,7 +83,8 @@ def _interpret() -> bool:
 
 def _fwd_kernel(kc_ref, qc_ref, x_ref, g_ref, bt_ref, w_ref, b_ref, m_ref,
                 *refs, mult: float, block_q: int, block_k: int,
-                n_heads: int, d_head: int, d_model: int, lean: bool):
+                n_heads: int, d_head: int, d_model: int, lean: bool,
+                broadcast: bool = True, l_real: int = 0):
     # lean (inference) calls carry only the o_ref output; training-forward
     # calls add the pre-residual attention + row stats the backward needs
     if lean:
@@ -143,16 +149,25 @@ def _fwd_kernel(kc_ref, qc_ref, x_ref, g_ref, bt_ref, w_ref, b_ref, m_ref,
             accs, m_is, l_is = carry
             k_all = k_s[pl.ds(kb * block_k, block_k)]       # [BK, C]
             v_all = v_s[pl.ds(kb * block_k, block_k)]
-            mblk = m_ref[0, :, pl.ds(kb * block_k, block_k)]  # [1, BK]
+            # broadcast: [1, BK] f32 combined; 3-D: [BQ, BK] int8 + column
+            # index padding (kernels/attention.py combined_mask semantics)
+            mblk = m_ref[0, :, pl.ds(kb * block_k, block_k)]
+            if not broadcast:
+                j = kb * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (n, block_k), dimension=1)
             new_accs, new_ms, new_ls = [], [], []
             for h in range(H):
                 sl = slice(h * D, (h + 1) * D)
                 s = jax.lax.dot_general(
                     q_all[:, sl], k_all[:, sl], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * mult  # [BQ, BK]
-                # f32 combined mask: 0 = live, MASK_FILL = masked,
-                # PAD_NEG = array padding
-                s = jnp.where(mblk != 0.0, mblk.astype(jnp.float32), s)
+                if broadcast:
+                    # f32 combined mask: 0 = live, MASK_FILL = masked,
+                    # PAD_NEG = array padding
+                    s = jnp.where(mblk != 0.0, mblk.astype(jnp.float32), s)
+                else:
+                    s = jnp.where(mblk != 0, MASK_FILL_VALUE, s)
+                    s = jnp.where(j >= l_real, PAD_NEG, s)
                 m_new = jnp.maximum(m_is[h],
                                     jnp.max(s, axis=1, keepdims=True))
                 p = jnp.exp(s - m_new)
@@ -194,14 +209,27 @@ def _fwd(x, gamma, beta, w, b, mask, mult: float, num_heads: int,
     n_qblocks = lp // block_q
     n_kblocks = lp // block_k
     xp = jnp.pad(x, ((0, 0), (0, lp - L), (0, 0)))
-    mp = _combined_mask(mask, lp)
-    last = _last_valid(mask)
-    kcounts = _block_counts(last, n_kblocks, block_k)
-    qcounts = _block_counts(last, n_qblocks, block_q)
+    broadcast = mask.shape[1] == 1
+    if broadcast:
+        mp = _combined_mask(mask, lp)
+        last = _last_valid(mask)
+        kcounts = _block_counts(last, n_kblocks, block_k)
+        qcounts = _block_counts(last, n_qblocks, block_q)
+        m_spec = pl.BlockSpec((1, 1, lp), lambda b, qi, kc, qc: (b, 0, 0))
+    else:
+        # 3-D block mask: no per-sample skipping (a fully-masked row's
+        # uniform output depends on every real key); padding keys are
+        # excluded by column index in-kernel
+        mp = _pad_mask(mask, lp, lp)
+        kcounts = jnp.full((B,), n_kblocks, jnp.int32)
+        qcounts = jnp.full((B,), n_qblocks, jnp.int32)
+        m_spec = pl.BlockSpec((1, block_q, lp),
+                              lambda b, qi, kc, qc: (b, qi, 0))
 
     kern = functools.partial(
         _fwd_kernel, mult=mult, block_q=block_q, block_k=block_k,
-        n_heads=H, d_head=D, d_model=C, lean=lean)
+        n_heads=H, d_head=D, d_model=C, lean=lean, broadcast=broadcast,
+        l_real=L)
     qrow = lambda b, qi, kc, qc: (b, qi, 0)
     out_specs = [pl.BlockSpec((1, block_q, C), qrow)]
     out_shape = [jax.ShapeDtypeStruct((B, lp, C), x.dtype)]
@@ -225,7 +253,7 @@ def _fwd(x, gamma, beta, w, b, mask, mult: float, num_heads: int,
                 pl.BlockSpec((1, C), lambda b, qi, kc, qc: (0, 0)),
                 pl.BlockSpec((C, 3 * C), lambda b, qi, kc, qc: (0, 0)),
                 pl.BlockSpec((1, 3 * C), lambda b, qi, kc, qc: (0, 0)),
-                pl.BlockSpec((1, 1, lp), lambda b, qi, kc, qc: (b, 0, 0)),
+                m_spec,
             ],
             out_specs=out_specs,
             scratch_shapes=[
@@ -250,8 +278,8 @@ def _row_block_flags(mask, L: int):
     sample fallback — such samples attend uniformly over every real key,
     so their projections must be real, not zeros)."""
     B = mask.shape[0]
-    if L % BLOCK_R != 0:
-        return None
+    if L % BLOCK_R != 0 or mask.shape[1] != 1:
+        return None                # 3-D block masks: every real row valid
     alive = (mask[:, 0, :] == 0).reshape(B, L // BLOCK_R, BLOCK_R)
     flags = jnp.any(alive, axis=-1)
     return flags | jnp.logical_not(flags.any(axis=-1, keepdims=True))
@@ -314,7 +342,8 @@ def _bwd_fused_kernel(kc_ref, qc_ref, rc_ref, lf_ref, x_ref, g_ref, bt_ref,
                       dx_ref, dg_ref, dbt_ref, dw_ref, db_ref,
                       q_s, k_s, v_s, dq_s, dk_s, dv_s, *, mult: float,
                       block_q: int, block_k: int, ln_block: int,
-                      n_heads: int, d_head: int, d_model: int, l_real: int):
+                      n_heads: int, d_head: int, d_model: int, l_real: int,
+                      broadcast: bool = True):
     b = pl.program_id(0)
     kcount = kc_ref[b]
     qcount = qc_ref[b]
@@ -361,8 +390,12 @@ def _bwd_fused_kernel(kc_ref, qc_ref, rc_ref, lf_ref, x_ref, g_ref, bt_ref,
     def kbody(kb, _):
         k_all = k_s[pl.ds(kb * block_k, block_k)]
         v_all = v_s[pl.ds(kb * block_k, block_k)]
-        mblk = m_ref[0, :, pl.ds(kb * block_k, block_k)]          # [1, BK]
-        masked = jnp.broadcast_to(mblk != 0.0, (block_q, block_k))
+        if broadcast:
+            mblk = m_ref[0, :, pl.ds(kb * block_k, block_k)]      # [1, BK]
+            masked = jnp.broadcast_to(mblk != 0.0, (block_q, block_k))
+        else:
+            jcol = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), dimension=1)
 
         def qbody(qi, inner):
             dk_hs, dv_hs = inner
@@ -372,6 +405,12 @@ def _bwd_fused_kernel(kc_ref, qc_ref, rc_ref, lf_ref, x_ref, g_ref, bt_ref,
             o_all = attn_ref[0, pl.ds(qi * block_q, block_q)].astype(
                 jnp.float32)
             st_all = st_ref[0, pl.ds(qi * block_q, block_q)]
+            if broadcast:
+                mblk_q, masked_q = mblk, masked
+            else:
+                mblk_q = m_ref[0, pl.ds(qi * block_q, block_q),
+                               pl.ds(kb * block_k, block_k)]    # [BQ, BK]
+                masked_q = (mblk_q != 0) | (jcol >= l_real)
             qrow = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, 1), dimension=0)
             row_valid = (qrow < l_real).astype(jnp.float32)
@@ -389,7 +428,11 @@ def _bwd_fused_kernel(kc_ref, qc_ref, rc_ref, lf_ref, x_ref, g_ref, bt_ref,
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * mult
-                s = jnp.where(masked, mblk.astype(jnp.float32), s)
+                if broadcast:
+                    s = jnp.where(masked_q, mblk_q.astype(jnp.float32), s)
+                else:
+                    s = jnp.where(mblk_q != 0, MASK_FILL_VALUE, s)
+                    s = jnp.where(jcol >= l_real, PAD_NEG, s)
                 p = jnp.exp(s - m_row) / l_row
                 pv = (p * row_valid).astype(v.dtype)
                 new_dv.append(dv_hs[h] + jax.lax.dot_general(
@@ -400,7 +443,7 @@ def _bwd_fused_kernel(kc_ref, qc_ref, rc_ref, lf_ref, x_ref, g_ref, bt_ref,
                     preferred_element_type=jnp.float32)
                 delta = jnp.sum(do * o, axis=1, keepdims=True)
                 ds = p * (dpart - delta) * mult
-                ds = jnp.where(masked, 0.0, ds) * row_valid
+                ds = jnp.where(masked_q, 0.0, ds) * row_valid
                 dsd = ds.astype(k.dtype)
                 dq_upd = jax.lax.dot_general(
                     dsd, k, (((1,), (0,)), ((), ())),
@@ -483,35 +526,52 @@ def _fused_block_bwd(mult, num_heads, res, g):
     block_q, ln_block = _bwd_block_sizes(lp)
     n_ln = lp // ln_block
 
-    last = _last_valid(mask)
-    kcounts = _block_counts(last, lp // block_k, block_k)
-    qcounts = _block_counts(last, lp // block_q, block_q)
-    rebcounts = jnp.minimum(
-        (jnp.maximum(kcounts * block_k, qcounts * block_q)
-         + ln_block - 1) // ln_block,
-        n_ln).astype(jnp.int32)
-    # flag semantics of rowmm._block_flags + _row_block_flags: per-block
-    # any-unmasked-key when L is block-aligned (all-masked samples keep
-    # every block — uniform-attention fallback), every real block otherwise
-    if L % ln_block == 0:
-        alive = (mask[:, 0, :] == 0).reshape(B, L // ln_block, ln_block)
-        flags = jnp.any(alive, axis=-1)
-        flags = flags | jnp.logical_not(flags.any(axis=-1, keepdims=True))
-        flags = jnp.pad(flags.astype(jnp.int32),
-                        ((0, 0), (0, n_ln - L // ln_block)))
+    broadcast = mask.shape[1] == 1
+    nreal = (L + ln_block - 1) // ln_block
+    all_real = jnp.concatenate(
+        [jnp.ones((B, nreal), jnp.int32),
+         jnp.zeros((B, n_ln - nreal), jnp.int32)], axis=1)
+    if broadcast:
+        last = _last_valid(mask)
+        kcounts = _block_counts(last, lp // block_k, block_k)
+        qcounts = _block_counts(last, lp // block_q, block_q)
+        rebcounts = jnp.minimum(
+            (jnp.maximum(kcounts * block_k, qcounts * block_q)
+             + ln_block - 1) // ln_block,
+            n_ln).astype(jnp.int32)
+        # flag semantics of rowmm._block_flags + _row_block_flags:
+        # per-block any-unmasked-key when L is block-aligned (all-masked
+        # samples keep every block — uniform-attention fallback), every
+        # real block otherwise
+        if L % ln_block == 0:
+            alive = (mask[:, 0, :] == 0).reshape(B, L // ln_block,
+                                                 ln_block)
+            flags = jnp.any(alive, axis=-1)
+            flags = flags | jnp.logical_not(
+                flags.any(axis=-1, keepdims=True))
+            flags = jnp.pad(flags.astype(jnp.int32),
+                            ((0, 0), (0, n_ln - L // ln_block)))
+        else:
+            flags = all_real
+        mp = _combined_mask(mask, lp)
+        m_spec_rows = 1
     else:
-        nreal = (L + ln_block - 1) // ln_block
-        flags = jnp.concatenate(
-            [jnp.ones((B, nreal), jnp.int32),
-             jnp.zeros((B, n_ln - nreal), jnp.int32)], axis=1)
+        # 3-D block mask: full coverage everywhere (composed path used
+        # valid=None), padding keys excluded by column index in-kernel
+        kcounts = jnp.full((B,), lp // block_k, jnp.int32)
+        qcounts = jnp.full((B,), lp // block_q, jnp.int32)
+        rebcounts = jnp.full((B,), n_ln, jnp.int32)
+        flags = all_real
+        mp = _pad_mask(mask, lp, lp)
+        m_spec_rows = lp
 
     xp = jnp.pad(x, ((0, 0), (0, lp - L), (0, 0)))
     gp = jnp.pad(g, ((0, 0), (0, lp - L), (0, 0)))
-    mp = _combined_mask(mask, lp)
 
     kern = functools.partial(
         _bwd_fused_kernel, mult=mult, block_q=block_q, block_k=block_k,
-        ln_block=ln_block, n_heads=H, d_head=C // H, d_model=C, l_real=L)
+        ln_block=ln_block, n_heads=H, d_head=C // H, d_model=C, l_real=L,
+        broadcast=broadcast)
     const2 = lambda b_, kc, qc, rc, lf: (0, 0)
     persample = lambda b_, kc, qc, rc, lf: (b_, 0, 0)
     dx, dgamma, dbeta, dw, db = pl.pallas_call(
@@ -528,7 +588,7 @@ def _fused_block_bwd(mult, num_heads, res, g):
                 pl.BlockSpec((1, lp, C), persample),              # dout
                 pl.BlockSpec((1, lp, C), persample),              # attn
                 pl.BlockSpec((1, lp, H * STATS_LANES), persample),
-                pl.BlockSpec((1, 1, lp), persample),              # mask
+                pl.BlockSpec((1, m_spec_rows, lp), persample),    # mask
             ],
             out_specs=[
                 pl.BlockSpec((1, lp, C), persample),              # dx
@@ -571,16 +631,19 @@ _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
 def pallas_attn_block(x, gamma, beta, w, b,
                       key_mask: Optional[jnp.ndarray], scale: float,
                       num_heads: int) -> jnp.ndarray:
-    """x [B, L, C] -> x + MHA(StdLN(x)) with key-pad mask semantics
-    identical to modules.masked_softmax_attention (2-D [B, L] bool masks
-    only — the multitoken 3-D block-mask models keep the composed path).
-    ``w``/``b`` are the concatenated q|k|v projection weights [C, 3C] /
-    [3C]; ``scale`` is the score divisor (sqrt(d_head))."""
+    """x [B, L, C] -> x + MHA(StdLN(x)) with mask semantics identical to
+    modules.masked_softmax_attention: None, a 2-D [B, L] key-pad mask
+    (True = masked), or a full 3-D [B, Lq, Lk] block mask (the multitoken
+    MBT variants). ``w``/``b`` are the concatenated q|k|v projection
+    weights [C, 3C] / [3C]; ``scale`` is the score divisor
+    (sqrt(d_head))."""
     B, L, _ = x.shape
     if key_mask is None:
         m = jnp.zeros((B, 1, L), jnp.int8)
-    else:
+    elif key_mask.ndim == 2:
         m = key_mask[:, None, :].astype(jnp.int8)
+    else:
+        m = key_mask.astype(jnp.int8)
     return _fused_block(x, gamma, beta, w, b, m, 1.0 / scale, num_heads)
 
 

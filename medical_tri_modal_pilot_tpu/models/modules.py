@@ -234,9 +234,8 @@ class MultiHeadAttention(nn.Module):
             if not is_self:
                 raise ValueError("prenorm requires query is key is value")
             gamma, beta = prenorm
-            if (_ATTN_BLOCK_IMPL is not None and residual is not None
-                    and residual is query
-                    and (key_mask is None or key_mask.ndim == 2)):
+            if _ATTN_BLOCK_IMPL is not None and residual is not None \
+                    and residual is query:
                 wcat = jnp.concatenate([wq, wk, wv], axis=1).astype(dt)
                 bcat = jnp.concatenate([bq, bk, bv_]).astype(dt)
                 return _ATTN_BLOCK_IMPL(query.astype(dt), gamma, beta,

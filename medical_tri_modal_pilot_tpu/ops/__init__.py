@@ -60,6 +60,8 @@ def _wrap_pallas_for_mesh(mesh):
         if key_mask is None:
             key_mask = jnp.zeros((B, L), bool)
         xs = P(DATA_AXIS, None, None)
+        ms = P(DATA_AXIS, None) if key_mask.ndim == 2 \
+            else P(DATA_AXIS, None, None)
 
         def body(x, gamma, beta, w, b, m):
             return pallas_attn_block(x, gamma, beta, w, b, m, scale,
@@ -67,8 +69,7 @@ def _wrap_pallas_for_mesh(mesh):
 
         return shard_map(
             body, mesh=mesh,
-            in_specs=(xs, P(None), P(None), P(None, None), P(None),
-                      P(DATA_AXIS, None)),
+            in_specs=(xs, P(None), P(None), P(None, None), P(None), ms),
             out_specs=xs, check_rep=False)(x, gamma, beta, w, b, key_mask)
 
     def attention(q, k, v, key_mask, scale, is_self=False):

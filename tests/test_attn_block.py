@@ -125,6 +125,49 @@ def test_grads_match_composition(B, L, C, H):
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
+def _block_mask_3d(B, L, groups=4):
+    """vmulti-style group-diagonal block mask: token i may attend within
+    its group plus the first group (bottleneck rows), mirroring the
+    multitoken MBT geometry (mbt_encoder.py:381-423)."""
+    g = np.minimum(np.arange(L) * groups // L, groups - 1)
+    allow = (g[:, None] == g[None, :]) | (g[None, :] == 0)
+    m = np.broadcast_to(~allow, (B, L, L))
+    return jnp.asarray(m)
+
+
+def test_forward_3d_block_mask():
+    B, L, C, H = 2, 130, 64, 2
+    x, gamma, beta, w, b = _mk(B, L, C, seed=7)
+    mask = _block_mask_3d(B, L)
+    scale = np.sqrt(C // H)
+    ref = xla_attn_block(x, gamma, beta, w, b, mask, scale, H)
+    out = pallas_attn_block(x, gamma, beta, w, b, mask, scale, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_grads_3d_block_mask():
+    B, L, C, H = 2, 130, 64, 2
+    x, gamma, beta, w, b = _mk(B, L, C, seed=8)
+    mask = _block_mask_3d(B, L)
+    scale = np.sqrt(C // H)
+    cot = jax.random.normal(jax.random.PRNGKey(13), (B, L, C), jnp.float32)
+
+    def loss_p(x, gamma, beta, w, b):
+        return jnp.sum(pallas_attn_block(x, gamma, beta, w, b, mask,
+                                         scale, H) * cot)
+
+    def loss_x(x, gamma, beta, w, b):
+        return jnp.sum(xla_attn_block(x, gamma, beta, w, b, mask,
+                                      scale, H) * cot)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, w, b)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, w, b)
+    for a, e, name in zip(gp, gx, ["dx", "dgamma", "dbeta", "dw", "db"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 @pytest.mark.parametrize("hole", [False, True])
 def test_fused_bwd_matches_composed(hole):
     """The one-kernel backward vs the composed rowmm+flash+rowmm chain it
