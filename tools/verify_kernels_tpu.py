@@ -140,8 +140,29 @@ def verify_attn_block() -> dict:
 
     gp, op = run(pallas_attn_block)
     gx, ox = run(xla_attn_block)
-    return {"attn_block/fwd": _err(op, ox),
-            "attn_block/bwd": max(_err(a, r) for a, r in zip(gp, gx))}
+    out = {"attn_block/fwd": _err(op, ox),
+           "attn_block/bwd": max(_err(a, r) for a, r in zip(gp, gx))}
+
+    # 3-D block mask (multitoken vmulti geometry): group-diagonal
+    # attend-within-group plus the bottleneck group, every row live
+    Lb = 256
+    xb = jnp.asarray(rng.normal(0, 1, (B, Lb, C)), jnp.float32)
+    g3 = np.minimum(np.arange(Lb) * 4 // Lb, 3)
+    allow = (g3[:, None] == g3[None, :]) | (g3[None, :] == 0)
+    m3 = jnp.asarray(np.broadcast_to(~allow, (B, Lb, Lb)))
+
+    def run3(fn):
+        def loss(x, gamma, beta, w, b):
+            o = fn(x, gamma, beta, w, b, m3, scale, H)
+            return jnp.sum(o * jnp.cos(o.astype(jnp.float32))), o
+        return jax.jit(jax.grad(loss, argnums=tuple(range(5)),
+                                has_aux=True))(xb, gamma, beta, w, b)
+
+    gp3, op3 = run3(pallas_attn_block)
+    gx3, ox3 = run3(xla_attn_block)
+    out["attn_block/3d_fwd"] = _err(op3, ox3)
+    out["attn_block/3d_bwd"] = max(_err(a, r) for a, r in zip(gp3, gx3))
+    return out
 
 
 def verify_ffn() -> dict:
