@@ -334,7 +334,10 @@ def phase_ours(spec_path: str) -> None:
     from medical_tri_modal_pilot_tpu.train.metrics import Evaluator
     from medical_tri_modal_pilot_tpu.train.trainer import Trainer
 
-    cfg = parse_config(spec["argv"] + ["--precision", "fp32"])
+    # ours_extra: additive flags applied only to OUR side (e.g.
+    # --use-pallas 2 pins the run-level parity on the kernel path)
+    cfg = parse_config(spec["argv"] + ["--precision", "fp32"]
+                       + list(spec.get("ours_extra") or []))
     test_paths = search_walk(cfg.test_data_path, ".pkl")
     index = build_eval_index(cfg, test_paths, "test")
     ds = EvalDataset(cfg, index, "test", seed=cfg.seed)
@@ -405,12 +408,14 @@ def phase_ours(spec_path: str) -> None:
 # orchestrator
 # ---------------------------------------------------------------------------
 
-def run_config(name: str, workdir: str, timeout: int = 5400) -> dict:
+def run_config(name: str, workdir: str, timeout: int = 5400,
+               ours_extra=None) -> dict:
     spec0 = CONFIGS[name]
     sandbox = _make_sandbox(workdir, name)
     spec = {
         "name": name,
         "argv": _full_argv(spec0, sandbox),
+        "ours_extra": list(ours_extra or []),
         "ref_json": os.path.join(sandbox, "ref_result.json"),
         "ours_json": os.path.join(sandbox, "ours_result.json"),
     }
@@ -457,9 +462,14 @@ def main(argv=None) -> None:
     p.add_argument("--configs", nargs="*", default=list(CONFIGS))
     p.add_argument("--workdir", default="/tmp/golden_parity")
     p.add_argument("--out", default=os.path.join(REPO, "GOLDEN_PARITY.json"))
+    p.add_argument("--ours-use-pallas", type=int, default=None,
+                   help="force --use-pallas N on OUR side only (2 = pin "
+                        "run-level parity on the pallas kernel path)")
     a = p.parse_args(argv)
 
-    rows = [run_config(c, a.workdir) for c in a.configs]
+    extra = (["--use-pallas", str(a.ours_use_pallas)]
+             if a.ours_use_pallas is not None else None)
+    rows = [run_config(c, a.workdir, ours_extra=extra) for c in a.configs]
     payload = {"rows": rows,
                "tolerance": {"d_auroc": 0.002, "max_abs_dprob": 5e-3}}
     with open(a.out, "w") as f:
