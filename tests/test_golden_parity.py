@@ -20,12 +20,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
-def test_golden_parity_vslt(tmp_path):
+@pytest.mark.parametrize("ours_pallas", [None, 2],
+                         ids=["xla", "pallas-kernels"])
+def test_golden_parity_vslt(tmp_path, ours_pallas):
+    """ours_pallas=2 pins the run-level parity on the PALLAS KERNEL path
+    (fused attention block + flash + fused FFN, interpret mode) — the
+    strongest correctness pin for the kernel layer: reference torch vs
+    our kernels, not just vs the in-repo XLA oracle."""
     out = tmp_path / "golden.json"
+    extra = ([] if ours_pallas is None
+             else ["--ours-use-pallas", str(ours_pallas)])
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "golden_parity.py"),
          "--configs", "vslt", "--workdir", str(tmp_path / "wd"),
-         "--out", str(out)],
+         "--out", str(out)] + extra,
         capture_output=True, text=True, timeout=1800,
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
