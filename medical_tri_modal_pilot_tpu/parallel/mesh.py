@@ -21,10 +21,12 @@ Tensor-parallel layout (classic FFN/heads split):
 A dim is only split when it divides evenly; otherwise the leaf stays
 replicated (correct, just not distributed).
 
-Note: with ``--use-pallas 1`` the fused attention kernel is a custom call
-XLA cannot partition over ``model`` — SPMD all-gathers its operands, so
-tensor parallelism pays off on the XLA path (and on the FFN matmuls
-everywhere). Data parallelism composes with either path.
+Note: with ``--use-pallas 1`` the kernels are custom calls XLA's SPMD
+partitioner cannot split, so ``ops.configure(mesh=...)`` shard_map-wraps
+each of them (ops/__init__.py): the flash attention splits heads over
+``model`` (the natural tensor-parallel axis, no collectives inside) and
+batch over ``data``; the fused FFN/attn-block fall back to plain XLA under
+``--mp-size > 1`` so SPMD can shard their matmul weights over ``model``.
 
 Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
 feed per-host batch shards via ``jax.make_array_from_process_local_data``
