@@ -95,6 +95,16 @@ def main() -> None:
             print("empty train loader — reduce batch size or add data")
             continue
 
+        if seed_cfg.img_pack_frac < 0:
+            # resolve the auto packed-swin capacity from the train sampler
+            # distribution (data-driven static shape; overflow batches fall
+            # back in-graph to the full trunk)
+            from medical_tri_modal_pilot_tpu.data.pipeline import \
+                auto_img_pack_frac
+            seed_cfg = seed_cfg.replace(
+                img_pack_frac=auto_img_pack_frac(train_loader))
+            print("auto img-pack capacity fraction: "
+                  f"{seed_cfg.img_pack_frac:.3f}")
         model = get_model(seed_cfg)
         sample_batch = next(iter(train_loader))
         trainer = Trainer(seed_cfg, model, iters_per_epoch, sample_batch,

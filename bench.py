@@ -231,7 +231,10 @@ def main() -> None:
     # (reference loads images only for type codes 0/5, dataset_new.py:677);
     # 25% present is the modeled rate. The frozen swin trunk is presence-
     # packed (--img-pack auto, models/models.py): its compute is set by the
-    # STATIC packed capacity ceil(B * img_pack_frac) + 1, not by the draw.
+    # STATIC packed capacity ceil(B * frac) + 1, not by the draw. frac here
+    # is the direct-construction fallback 0.5 (33 rows) — 2_train resolves
+    # the -1 auto default from the train sampler instead
+    # (pipeline.auto_img_pack_frac).
     import numpy as _np
     _r = _np.random.default_rng(7)
     img_present = _r.random(BATCH) < IMG_PRESENT_FRAC

@@ -253,11 +253,14 @@ def build_parser() -> argparse.ArgumentParser:
                              '(packed to a static capacity; missing rows '
                              'share one zero-image row). -1 = auto (on for '
                              'missing-modality regimes with a frozen trunk)')
-    parser.add_argument('--img-pack-frac', type=float, default=0.5,
+    parser.add_argument('--img-pack-frac', type=float, default=-1.0,
                         help='static packed capacity as a fraction of the '
                              'image-row count; batches with more present '
                              'images than capacity fall back in-graph to the '
-                             'full-batch trunk (lax.cond)')
+                             'full-batch trunk (lax.cond). -1 = auto: derived '
+                             'from the train sampler distribution at loader '
+                             'build (data/pipeline.py:auto_img_pack_frac; '
+                             '0.5 when no loader statistics exist)')
     parser.add_argument('--train-multi-k', type=int, default=0,
                         help='optimizer steps per device dispatch (lax.scan '
                              'super-batches, amortizes host->device dispatch '

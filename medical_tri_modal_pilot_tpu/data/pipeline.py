@@ -182,6 +182,37 @@ def get_data_loaders(cfg: Config, patient_dict=None, keys_list=None,
     return train_loader, val_loader, test_loader
 
 
+def auto_img_pack_frac(train_loader: BatchLoader) -> float:
+    """Data-driven packed capacity for the frozen image trunk
+    (models.ImageEncoder._packed_trunk, --img-pack-frac -1).
+
+    The batch's image-present row count is a binomial draw: the weighted
+    sampler (sampler.WeightedClassSampler) picks index entries i.i.d.
+    with known per-entry probabilities, and only entries whose remapped
+    type code is 0 or 5 can load pixels (dataset._fetch_image docstring —
+    the gate set intersected with non-empty cxr filters). Capacity is
+    sized at p + 3.5 sigma + 1/B of the batch, so overflow (which falls
+    back in-graph to the full-batch trunk, correct but slower) is a
+    <0.1% event; p uses the upper bound "every 0/5 draw carries pixels",
+    so real overflow is rarer still. Full-modality regimes return 1.0
+    (every row has an image — packing is off there anyway)."""
+    ds = train_loader.dataset
+    cfg = ds.cfg
+    if "train-missing" not in cfg.modality_inclusion:
+        return 1.0
+    sampler = train_loader.sampler
+    types = np.asarray(ds.type_list if hasattr(ds, "type_list")
+                       else ds.index.type_list)
+    if types.size == 0:
+        return 0.5
+    can_img = np.isin(types, (0, 5)).astype(np.float64)
+    probs = getattr(sampler, "probs", None)
+    p = float(can_img @ probs if probs is not None else can_img.mean())
+    B = max(2, train_loader.batch_size)
+    frac = p + 3.5 * float(np.sqrt(p * (1.0 - p) / B)) + 1.0 / B
+    return float(min(1.0, max(2.0 / B, frac)))
+
+
 def get_test_data_loader(cfg: Config) -> BatchLoader:
     """Reference get_test_data_loader (data_preprocess.py:100-126)."""
     test_paths = search_walk(cfg.test_data_path, ".pkl")

@@ -75,8 +75,11 @@ class ImageEncoder(nn.Module):
         lax.cond instead (both branches static shapes, one executes)."""
         cfg = self.cfg
         rows = img.shape[0]
-        cap = max(1, min(rows - 1,
-                         int(-(-rows * cfg.img_pack_frac // 1))))
+        # frac < 0 = unresolved auto (2_train resolves it from the train
+        # sampler via pipeline.auto_img_pack_frac before building the
+        # model; direct construction — bench, tests — falls back to 0.5)
+        frac = cfg.img_pack_frac if cfg.img_pack_frac > 0 else 0.5
+        cap = max(1, min(rows - 1, int(-(-rows * frac // 1))))
         present = present.astype(bool).reshape(rows)
         n_present = jnp.sum(present.astype(jnp.int32))
         order = jnp.argsort(jnp.logical_not(present), stable=True)

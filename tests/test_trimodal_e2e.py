@@ -77,3 +77,40 @@ def test_fixture_images_actually_load(synth, tmp_path):
                              and np.abs(batch["txt"]).sum() > 0)
     assert got_real_img, "no real image made it through the pipeline"
     assert got_real_txt, "no real text made it through the pipeline"
+
+
+def test_auto_img_pack_frac(synth, tmp_path):
+    """--img-pack-frac -1 resolves from the train sampler distribution:
+    p(image-capable draw) + 3.5 sigma + 1/B, clamped to (0, 1]. The swin
+    capacity this sizes is overflow-safe (in-graph full-batch fallback),
+    so the resolver only has to be a sound upper-bound estimate."""
+    from medical_tri_modal_pilot_tpu.data.pipeline import auto_img_pack_frac
+
+    cfg = _cfg(synth, tmp_path, "tri_mbt_vsltcls", "vslt_img_txt")
+    assert cfg.img_pack_frac == -1.0          # the auto default
+    train_loader, _v, _t = get_data_loaders(cfg)
+    frac = auto_img_pack_frac(train_loader)
+    assert 0.0 < frac <= 1.0
+
+    # exact formula against the loader's own sampler/type_list
+    types = np.asarray(train_loader.dataset.type_list)
+    p = float(np.isin(types, (0, 5)).astype(np.float64)
+              @ train_loader.sampler.probs)
+    B = max(2, cfg.batch_size)
+    want = min(1.0, max(2.0 / B, p + 3.5 * np.sqrt(p * (1 - p) / B) + 1 / B))
+    assert abs(frac - want) < 1e-12
+
+    # a resolved cfg trains (the model reads the static capacity from it)
+    cfg2 = cfg.replace(img_pack_frac=frac, img_model_type="swin",
+                       image_size=224)
+    m = get_model(cfg2)
+    sample = next(iter(train_loader))
+    trainer = Trainer(cfg2, m, len(train_loader), sample, seed=412)
+    loss = float(trainer.train_step(sample))
+    assert np.isfinite(loss)
+
+    # full-modality regimes: every row carries an image
+    cfg3 = _cfg(synth, tmp_path, "tri_mbt_vsltcls", "vslt_img_txt")
+    cfg3 = cfg3.replace(modality_inclusion="train-full_test-full")
+    tl3, _v3, _t3 = get_data_loaders(cfg3)
+    assert auto_img_pack_frac(tl3) == 1.0
