@@ -70,10 +70,14 @@ def main():
 
     results = {}
 
+    def _record(name, val):
+        results[name] = round(val, 2)
+        print(f"{name}: {results[name]} ms", flush=True)
+
     # full step
     step = jax.jit(lambda s, b, k: trainer._train_step_impl(s, b, k))
     st, _ = step(trainer.state, dbatch, rng)
-    results["full"] = _windows(lambda: step(trainer.state, dbatch, rng))
+    _record("full", _windows(lambda: step(trainer.state, dbatch, rng)))
 
     # forward only (train-mode apply, same dropout/missing path as the step)
     from medical_tri_modal_pilot_tpu.train.trainer import compute_missing_num
@@ -85,7 +89,7 @@ def main():
         return logits
     fwd = jax.jit(fwd_only)
     _ = fwd(trainer.state.params, dbatch, rng)
-    results["fwd"] = _windows(lambda: fwd(trainer.state.params, dbatch, rng))
+    _record("fwd", _windows(lambda: fwd(trainer.state.params, dbatch, rng)))
 
     # grads only (fwd+bwd, no optimizer)
     def grads_only(params, b, k):
@@ -98,14 +102,14 @@ def main():
         return jax.grad(lf)(params)
     gfn = jax.jit(grads_only)
     g0 = gfn(trainer.state.params, dbatch, rng)
-    results["fwd_bwd"] = _windows(lambda: gfn(trainer.state.params,
-                                              dbatch, rng))
+    _record("fwd_bwd", _windows(lambda: gfn(trainer.state.params,
+                                            dbatch, rng)))
 
     # optimizer update alone
     opt = jax.jit(lambda g: trainer.tx.update(g, trainer.state.opt_state,
                                               trainer.state.params))
     _ = opt(g0)
-    results["opt"] = _windows(lambda: opt(g0))
+    _record("opt", _windows(lambda: opt(g0)))
 
     # packed swin trunk alone (the capacity the packed path runs: 33+1 rows)
     from medical_tri_modal_pilot_tpu.models.swin import SwinTransformer
@@ -115,7 +119,7 @@ def main():
     swp = sw.init(jax.random.PRNGKey(1), img, True)
     swf = jax.jit(lambda p, x: sw.apply(p, x, True))
     _ = swf(swp, img)
-    results["swin_packed_fwd"] = _windows(lambda: swf(swp, img))
+    _record("swin_packed_fwd", _windows(lambda: swf(swp, img)))
 
     print({k: (round(v, 2) if isinstance(v, float) else v)
            for k, v in results.items()})
