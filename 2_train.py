@@ -62,6 +62,14 @@ def run_eval(trainer, loader, logger) -> float:
 
 def main() -> None:
     cfg = parse_config()
+    # multi-host rendezvous must precede any jax backend work; after this
+    # jax.devices() is the global list and the mesh spans all hosts
+    from medical_tri_modal_pilot_tpu.parallel.distributed import \
+        maybe_init_distributed
+    pidx, pcnt = maybe_init_distributed(cfg)
+    if pcnt > 1:
+        print(f"[dist] process {pidx}/{pcnt} initialized "
+              f"(coordinator {cfg.dist_coordinator})")
     make_setting_file(cfg)
     if cfg.debug_nans:
         import jax

@@ -43,6 +43,9 @@ def search_ckpts(root: str):
 
 def main() -> None:
     cfg = parse_config()
+    from medical_tri_modal_pilot_tpu.parallel.distributed import \
+        maybe_init_distributed
+    maybe_init_distributed(cfg)
     ckpt_dir = os.path.join(cfg.dir_result, cfg.project_name, "ckpts")
     ckpts = [p for p in search_ckpts(ckpt_dir)
              if ("best" in os.path.basename(p) if cfg.best and not cfg.last

@@ -231,6 +231,18 @@ def build_parser() -> argparse.ArgumentParser:
                              '2-D (data, model) mesh and shards the '
                              'transformer FFN/attention matmuls over it '
                              '(parallel/mesh.py)')
+    parser.add_argument('--dist-coordinator', type=str, default='',
+                        help='multi-host rendezvous: "host:port" for an '
+                             'explicit coordinator, "auto" for '
+                             'jax.distributed.initialize() cluster '
+                             'auto-detection (TPU pods). Empty = '
+                             'single-process (parallel/distributed.py)')
+    parser.add_argument('--dist-num-processes', type=int, default=-1,
+                        help='total process count for --dist-coordinator '
+                             'host:port rendezvous (-1 = from env/auto)')
+    parser.add_argument('--dist-process-id', type=int, default=-1,
+                        help='this process\'s rank for --dist-coordinator '
+                             'host:port rendezvous (-1 = from env/auto)')
     parser.add_argument('--ckpt-backend', type=str, default='pickle',
                         choices=['pickle', 'orbax'],
                         help='checkpoint serialization: single-file pickle '
@@ -390,6 +402,9 @@ class Config:
     debug_nans: int
     dp_size: int
     mp_size: int
+    dist_coordinator: str
+    dist_num_processes: int
+    dist_process_id: int
     remat: int
     prng: str
     ckpt_backend: str

@@ -28,9 +28,12 @@ each of them (ops/__init__.py): the flash attention splits heads over
 batch over ``data``; the fused FFN/attn-block fall back to plain XLA under
 ``--mp-size > 1`` so SPMD can shard their matmul weights over ``model``.
 
-Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
-feed per-host batch shards via ``jax.make_array_from_process_local_data``
-(handled in ``shard_batch``).
+Multi-host: ``parallel.distributed.maybe_init_distributed`` connects the
+per-host processes before ``make_mesh`` (which then spans the *global*
+device list); ``shard_batch``/``put_global`` place every process's copy
+of the global batch onto its addressable shards
+(``jax.make_array_from_callback``), and XLA routes the step's collectives
+over ICI within a slice and DCN across slices.
 """
 from __future__ import annotations
 
@@ -146,15 +149,26 @@ def tree_shardings(mesh: Mesh, tree):
         tree)
 
 
+def put_global(mesh: Mesh, spec: P, x):
+    """Place one host array onto the mesh with PartitionSpec ``spec``.
+
+    Single-process: plain ``device_put``. Multi-process: every process
+    holds the identical *global* array (the seeded data pipeline is
+    deterministic per ``parallel.distributed`` contract) and the runtime
+    slices out this host's addressable shards via
+    ``jax.make_array_from_callback`` — correct for any device→process
+    layout, no cross-host transfer."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx])
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
     """Ship a host batch to the mesh, sharded on the leading (batch) dim
-    (replicated over 'model' when present).
-
-    Single-process: device_put with a NamedSharding. Multi-process: each
-    process contributes its local shard of the global batch.
-    """
-    sharding = batch_sharding(mesh)
-    if jax.process_count() == 1:
-        return jax.device_put(batch, sharding)
+    (replicated over 'model' when present). Multi-process: see
+    ``put_global`` — each process passes the same global batch."""
     return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sharding, x), batch)
+        lambda x: put_global(mesh, P(DATA_AXIS), x), batch)

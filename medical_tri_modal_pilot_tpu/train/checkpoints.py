@@ -134,6 +134,9 @@ class AsyncCheckpointer:
         background thread. A still-running previous write is joined first
         so at most one write is in flight."""
         import threading
+        from ..parallel.distributed import is_primary
+        if not is_primary():    # multi-host: process 0 owns the files
+            return
         self.wait()
         payload = {
             "model": _to_numpy({"params": state.params,

@@ -19,6 +19,9 @@ from .metrics import Evaluator
 
 
 def make_setting_file(cfg: Config) -> None:
+    from ..parallel.distributed import is_primary
+    if not is_primary():        # multi-host: process 0 owns file output
+        return
     log_dir = os.path.join(cfg.dir_result, cfg.project_name)
     os.makedirs(log_dir, exist_ok=True)
     with open(os.path.join(log_dir, "settings.txt"), "w") as f:
@@ -34,7 +37,13 @@ class Logger:
         self.dir_log = os.path.join(cfg.dir_result, cfg.project_name,
                                     f"logs_{fold}")
         self.dir_save = os.path.join(cfg.dir_result, cfg.project_name)
-        os.makedirs(self.dir_log, exist_ok=True)
+        # multi-host: every process tracks metrics/best-score state (the
+        # gathered eval outputs are identical on all hosts, so decisions
+        # agree), but only process 0 touches the filesystem
+        from ..parallel.distributed import is_primary
+        self.primary = is_primary()
+        if self.primary:
+            os.makedirs(self.dir_log, exist_ok=True)
         self.evaluator = Evaluator()
         self.loss = 0.0
         self.val_loss = 0.0
@@ -43,13 +52,16 @@ class Logger:
         self.best_iter = 0
         self.val_results = None
         self.test_results = None
-        self._events = open(os.path.join(self.dir_log, "events.jsonl"), "a")
+        self._events = open(
+            os.path.join(self.dir_log, "events.jsonl") if self.primary
+            else os.devnull, "a")
         self._tb = None
-        try:
-            from tensorboardX import SummaryWriter  # optional
-            self._tb = SummaryWriter(logdir=self.dir_log)
-        except Exception:
-            pass
+        if self.primary:
+            try:
+                from tensorboardX import SummaryWriter  # optional
+                self._tb = SummaryWriter(logdir=self.dir_log)
+            except Exception:
+                pass
 
     def log_scalar(self, tag: str, value: float, step: int) -> None:
         self._events.write(json.dumps(
@@ -82,20 +94,24 @@ class Logger:
             score = 0.0
         last = ckpt_path(self.cfg.dir_result, self.cfg.project_name, "last",
                          self.fold, self.seed)
-        save_checkpoint_any(self.cfg.ckpt_backend, last, state,
-                            score, epoch, self.best_iter, step)
+        if self.primary:
+            save_checkpoint_any(self.cfg.ckpt_backend, last, state,
+                                score, epoch, self.best_iter, step)
         best = ckpt_path(self.cfg.dir_result, self.cfg.project_name,
                          "best", self.fold, self.seed)
         # always promote the first save so a best ckpt exists even when
-        # validation never ran (3_test defaults to best_*.pth)
-        if score > self.best_score or not ckpt_exists(best):
+        # validation never ran (3_test defaults to best_*.pth).
+        # Non-primary processes track is-first via best_iter (the path
+        # check only works where the file is written).
+        first = (not ckpt_exists(best)) if self.primary else \
+            (self.best_iter == 0 and self.best_score == 0.0)
+        if score > self.best_score or first:
             self.best_score = score
             self.best_auc = m["auc"] or 0.0
             self.best_iter = step
-            best = ckpt_path(self.cfg.dir_result, self.cfg.project_name,
-                             "best", self.fold, self.seed)
-            save_checkpoint_any(self.cfg.ckpt_backend, best, state,
-                                score, epoch, step, step)
+            if self.primary:
+                save_checkpoint_any(self.cfg.ckpt_backend, best, state,
+                                    score, epoch, step, step)
             return True
         return False
 

@@ -360,10 +360,11 @@ class Trainer:
         ([K, B, ...]); returns the [K] losses."""
         rng, self._rng = jax.random.split(self._rng)
         if not on_device:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from ..parallel.mesh import DATA_AXIS
-            sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
-            batches = jax.device_put(batches, sh)
+            from jax.sharding import PartitionSpec as P
+            from ..parallel.mesh import DATA_AXIS, put_global
+            batches = jax.tree.map(
+                lambda x: put_global(self.mesh, P(None, DATA_AXIS), x),
+                batches)
         if not hasattr(self, "_train_multi"):
             self._train_multi = jax.jit(self._train_multi_impl,
                                         donate_argnums=(0,))
@@ -402,7 +403,10 @@ class Trainer:
                   on_device: bool = False):
         dbatch = batch if on_device else self._device_batch(batch)
         probs, loss = self._eval_step(self.state, dbatch)
-        return np.asarray(probs), float(loss)
+        # multi-host: probs stay data-sharded across processes; gather so
+        # every host's Evaluator sees the full per-sample vector
+        from ..parallel.distributed import gather_global
+        return gather_global(probs), float(loss)
 
     def prefetch(self, loader, depth: int = 2):
         """Iterate a host loader with device transfers ``depth`` ahead."""
