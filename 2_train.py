@@ -53,8 +53,8 @@ def run_eval(trainer, loader, logger) -> float:
 
     from medical_tri_modal_pilot_tpu.data.pipeline import device_prefetch
     for dbatch in device_prefetch(host_iter, put):
-        probs, loss = trainer.eval_step(dbatch, on_device=True)
-        logger.evaluator.add_batch(targets[n], probs)
+        probs, loss, rmse = trainer.eval_step(dbatch, on_device=True)
+        logger.evaluator.add_batch(targets[n], probs, rmse=rmse)
         total_loss += loss
         n += 1
     return total_loss / max(n, 1)
@@ -144,10 +144,19 @@ def main() -> None:
             if ckpt_exists(p):
                 payload = load_checkpoint_any(seed_cfg.ckpt_backend, p)
                 restore_path = p
+        # multi-host: restore happens per-process against the local fs —
+        # verify every process found the same checkpoint (by step) before
+        # stepping, else params would silently diverge inside SPMD
+        from medical_tri_modal_pilot_tpu.parallel.distributed import (
+            assert_agreement, barrier)
+        assert_agreement(
+            "resume checkpoint step",
+            -1 if restore_path is None else int(payload.get("step", 0)))
         if restore_path is not None:
             trainer.state = restore_into_state(trainer.state, payload)
             logger.best_auc = payload["score"]
             logger.best_score = payload["score"]
+            logger.mark_restored()
             start_epoch = payload["epoch"]
             iteration = int(payload.get("last_step", 0))
             print(f"resumed from {restore_path} "
@@ -227,6 +236,8 @@ def main() -> None:
                 logger.add_validation_logs(iteration, val_loss)
             async_ckpt.wait()   # don't race the epoch-level 'last' save
             logger.save(trainer.state, iteration, epoch)
+            # order process 0's save before any later restore read
+            barrier(f"epoch {epoch} save")
             dt = time.time() - t_start
             print(f"epoch {epoch}/{seed_cfg.epochs} done "
                   f"({iteration} iters, {dt:.1f}s elapsed)")
@@ -237,8 +248,17 @@ def main() -> None:
         kind = "last" if seed_cfg.last and not seed_cfg.best else "best"
         path = ckpt_path(seed_cfg.dir_result, seed_cfg.project_name, kind,
                          k_indx, seed_cfg.seed)
-        if ckpt_exists(path):
-            payload = load_checkpoint_any(seed_cfg.ckpt_backend, path)
+        # every process must load the same best state (or none): without a
+        # shared results dir, non-primary hosts would keep their last
+        # training params while process 0 loads 'best' — silently wrong
+        # final test metrics under SPMD. The epoch barrier above already
+        # ordered the save; this verifies the restore decision agrees.
+        payload = (load_checkpoint_any(seed_cfg.ckpt_backend, path)
+                   if ckpt_exists(path) else None)
+        assert_agreement(
+            f"final {kind} checkpoint step",
+            -1 if payload is None else int(payload.get("step", 0)))
+        if payload is not None:
             trainer.state = restore_into_state(trainer.state, payload,
                                                with_optimizer=False)
         if len(test_loader) > 0:

@@ -50,6 +50,13 @@ def main() -> None:
     ckpts = [p for p in search_ckpts(ckpt_dir)
              if ("best" in os.path.basename(p) if cfg.best and not cfg.last
                  else True)]
+    # multi-host: checkpoint discovery is per-process against the local
+    # fs. All processes must agree on the walk result before any of them
+    # enters (or skips) the jitted eval collectives — a host that exits
+    # while others proceed wedges the distributed job.
+    from medical_tri_modal_pilot_tpu.parallel.distributed import \
+        assert_agreement
+    assert_agreement("3_test checkpoint count", len(ckpts))
     if not ckpts:
         print(f"no checkpoints under {ckpt_dir}")
         sys.exit(1)
@@ -71,12 +78,14 @@ def main() -> None:
             trainer = Trainer(cfg, model, 1, sample_batch, seed=cfg.seed,
                               eval_only=True)
         payload = load_checkpoint_any(cfg.ckpt_backend, path)
+        # same-file check across hosts (loads are per-process)
+        assert_agreement(f"ckpt {k_indx} step", int(payload.get("step", 0)))
         trainer.state = restore_into_state(trainer.state, payload,
                                            with_optimizer=False)
         logger.evaluator.reset()
         for batch in test_loader:
-            probs, _loss = trainer.eval_step(batch)
-            logger.evaluator.add_batch(batch["target"], probs)
+            probs, _loss, rmse = trainer.eval_step(batch)
+            logger.evaluator.add_batch(batch["target"], probs, rmse=rmse)
         print(f"ckpt: {path}")
         agg.add(logger.test_result_only())
         logger.close()

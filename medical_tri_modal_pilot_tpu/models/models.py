@@ -80,6 +80,15 @@ class ImageEncoder(nn.Module):
         # model; direct construction — bench, tests — falls back to 0.5)
         frac = cfg.img_pack_frac if cfg.img_pack_frac > 0 else 0.5
         cap = max(1, min(rows - 1, int(-(-rows * frac // 1))))
+        # multi-device mesh: round the packed row count (cap+1) up to a
+        # multiple of the data-axis size so the shard_map'd swin kernels
+        # keep their partitioned path (modules.set_pack_alignment; an
+        # unaligned count degrades to all-gathered bare pallas_calls)
+        from .modules import get_pack_alignment
+        align = get_pack_alignment()
+        if align > 1:
+            packed = -((cap + 1) // -align) * align
+            cap = max(min(packed, rows) - 1, 1)
         present = present.astype(bool).reshape(rows)
         n_present = jnp.sum(present.astype(jnp.int32))
         order = jnp.argsort(jnp.logical_not(present), stable=True)

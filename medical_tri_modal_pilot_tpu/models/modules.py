@@ -184,6 +184,25 @@ def set_attn_block_impl(fn) -> None:
     _ATTN_BLOCK_IMPL = fn
 
 
+# set by ops dispatch when a multi-device mesh is configured: static
+# leading-dim alignment (the data-axis size). The presence-packed swin
+# trunk rounds its packed row count (cap+1) up to a multiple of this so
+# the shard_map'd kernels keep their partitioned fast path — an unaligned
+# row count falls back to the bare pallas_call, which XLA's SPMD
+# partitioner can only handle by ALL-GATHERING every operand
+# (ops/__init__.py docstring).
+_PACK_ALIGN: int = 1
+
+
+def set_pack_alignment(n: int) -> None:
+    global _PACK_ALIGN
+    _PACK_ALIGN = max(int(n), 1)
+
+
+def get_pack_alignment() -> int:
+    return _PACK_ALIGN
+
+
 class _XavierParams(nn.Module):
     """nn.Dense-shaped params ({kernel, bias}, xavier/zeros init) exposed
     raw — same tree and init as ``xavier_dense`` so checkpoints are

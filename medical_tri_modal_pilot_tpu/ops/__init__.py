@@ -32,6 +32,28 @@ from ..models import swin as _swin
 from ..models import umse as _umse
 
 
+# trace-time fallback counter: each shard_map wrapper increments this when
+# a shape misalignment forces the bare (unpartitionable) pallas_call, whose
+# operands XLA SPMD can only all-gather. Tests assert it stays 0 on the
+# flagship multi-chip path (dp-aligned packing keeps every leading dim a
+# multiple of the data axis).
+_MESH_FALLBACKS = 0
+
+
+def _note_mesh_fallback(name: str) -> None:
+    global _MESH_FALLBACKS
+    _MESH_FALLBACKS += 1
+
+
+def reset_mesh_fallback_count() -> None:
+    global _MESH_FALLBACKS
+    _MESH_FALLBACKS = 0
+
+
+def mesh_fallback_count() -> int:
+    return _MESH_FALLBACKS
+
+
 def _wrap_pallas_for_mesh(mesh):
     import jax
     import jax.numpy as jnp
@@ -54,6 +76,7 @@ def _wrap_pallas_for_mesh(mesh):
 
     def attn_block(x, gamma, beta, w, b, key_mask, scale, num_heads):
         if x.shape[0] % dp != 0:
+            _note_mesh_fallback("attn_block")
             return pallas_attn_block(x, gamma, beta, w, b, key_mask,
                                      scale, num_heads)
         B, L, _ = x.shape
@@ -75,6 +98,7 @@ def _wrap_pallas_for_mesh(mesh):
     def attention(q, k, v, key_mask, scale, is_self=False):
         B, _, H, _ = q.shape
         if B % dp != 0 or (mp > 1 and H % mp != 0):
+            _note_mesh_fallback("attention")
             return pallas_masked_attention(q, k, v, key_mask, scale, is_self)
         hax = MODEL_AXIS if mp > 1 else None
         qs = P(DATA_AXIS, None, hax, None)
@@ -92,6 +116,7 @@ def _wrap_pallas_for_mesh(mesh):
     def ffn(x, gamma, beta, w1, b1, w2, b2, *, p, deterministic, seed,
             block_valid=None):
         if x.shape[0] % dp != 0:
+            _note_mesh_fallback("ffn")
             return pallas_ffn(x, gamma, beta, w1, b1, w2, b2, p=p,
                               deterministic=deterministic, seed=seed,
                               block_valid=block_valid)
@@ -126,6 +151,8 @@ def _wrap_pallas_for_mesh(mesh):
 
     def qkv_affine(x, w, b, block_valid):
         if x.ndim != 3 or x.shape[0] % dp != 0 or block_valid is None:
+            if block_valid is not None:   # None = legitimate plain path
+                _note_mesh_fallback("qkv_affine")
             return pallas_rowskip_affine(x, w, b, block_valid)
         xs = P(DATA_AXIS, None, None)
         ys = P(DATA_AXIS, None, None)
@@ -136,6 +163,8 @@ def _wrap_pallas_for_mesh(mesh):
 
     def qkv_ln_affine(x, gamma, beta, w, b, block_valid):
         if x.ndim != 3 or x.shape[0] % dp != 0 or block_valid is None:
+            if block_valid is not None:
+                _note_mesh_fallback("qkv_ln_affine")
             return pallas_rowskip_ln_affine(x, gamma, beta, w, b, block_valid)
         xs = P(DATA_AXIS, None, None)
         ys = P(DATA_AXIS, None, None)
@@ -153,6 +182,7 @@ def _wrap_pallas_for_mesh(mesh):
         # modular indexing aligned only when the per-shard count is a
         # multiple of M (always true for whole images per shard)
         if xw.shape[0] % (dp * M) != 0:
+            _note_mesh_fallback("window_attention")
             return pallas_window_attention(xw, wqkv, bqkv, wproj, bproj,
                                            bias, smask, num_heads)
         xs = P(DATA_AXIS, None, None)
@@ -180,6 +210,7 @@ def _wrap_pallas_for_mesh(mesh):
 
     def swin_mlp(x, scale, bias, w1, b1, w2, b2):
         if x.shape[0] % dp != 0:
+            _note_mesh_fallback("swin_mlp")
             return pallas_swin_mlp(x, scale, bias, w1, b1, w2, b2)
         xs = P(DATA_AXIS, None)
         return shard_map(
@@ -190,6 +221,7 @@ def _wrap_pallas_for_mesh(mesh):
 
     def umse(x, wv, bv, sv, bbv, wt, bt, st, bbt, feat_emb, dtype):
         if x.shape[0] % dp != 0:
+            _note_mesh_fallback("umse")
             return pallas_umse(x, wv, bv, sv, bbv, wt, bt, st, bbt,
                                feat_emb, dtype)
         xs = P(DATA_AXIS, None, None)
@@ -213,7 +245,13 @@ def _wrap_pallas_for_mesh(mesh):
 def configure(use_pallas: bool, mesh=None) -> None:
     """Select kernel implementations. ``mesh``: when given and it has more
     than one device, pallas kernels are shard_map-wrapped so SPMD never
-    all-gathers their operands (module docstring)."""
+    all-gathers their operands (module docstring), and the packed-swin
+    trunk aligns its static row count to the data axis so those wrappers
+    never hit their unpartitioned fallback."""
+    from ..parallel.mesh import DATA_AXIS as _DA
+    _modules.set_pack_alignment(
+        mesh.shape.get(_DA, 1) if mesh is not None and mesh.devices.size > 1
+        else 1)
     if use_pallas:
         from ..kernels.attention import pallas_masked_attention
         from ..kernels.ffn import pallas_ffn

@@ -91,6 +91,38 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def barrier(tag: str) -> None:
+    """Cross-process rendezvous (no-op single-process). Used to order
+    process 0's checkpoint writes before any process's restore reads —
+    without it, a shared-filesystem restore can race the save."""
+    import jax
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(tag)
+
+
+def assert_agreement(tag: str, value) -> None:
+    """Raise when a small scalar decision differs across processes.
+
+    Checkpoint discovery/restore happens per-process against the local
+    filesystem; if the results dir is not shared, non-primary hosts see
+    different files and would silently diverge inside an SPMD computation
+    that assumes replicated params. This turns that into a loud error."""
+    import jax
+    if jax.process_count() == 1:
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+    vals = multihost_utils.process_allgather(
+        np.asarray(value, dtype=np.float64))
+    if not np.all(vals == vals[0]):
+        raise RuntimeError(
+            f"multi-host disagreement on {tag}: per-process values "
+            f"{vals.tolist()} — the checkpoint/results directory must be "
+            "shared (or identically populated) across all hosts")
+
+
 def gather_global(x):
     """Fetch a (possibly multi-host-sharded) jax array to host numpy.
 

@@ -62,6 +62,22 @@ def make_mesh(dp_size: int = 0, batch_size: Optional[int] = None,
     ('data', 'model') mesh: adjacent devices share a model group so the
     model all-reduces ride the shortest ICI hops."""
     devices = jax.devices()
+
+    def _check_multiprocess(n: int) -> None:
+        # multi-controller SPMD: every process must contribute ALL of its
+        # addressable devices to the mesh. Truncating the global list
+        # (devices[:n]) can exclude a later host's devices entirely, and
+        # that process then fails or hangs inside the first collective
+        # instead of erroring clearly.
+        if jax.process_count() > 1 and n != len(devices):
+            raise ValueError(
+                f"multi-process run: the mesh would use {n} of "
+                f"{len(devices)} global devices, leaving some hosts "
+                "without addressable shards. Adjust --batch-size, "
+                "--dp-size or --mp-size so dp*mp covers every device "
+                f"({jax.process_count()} processes x "
+                f"{jax.local_device_count()} local devices).")
+
     mp = max(mp_size, 1)
     if mp > 1:
         avail = len(devices) // mp
@@ -75,6 +91,7 @@ def make_mesh(dp_size: int = 0, batch_size: Optional[int] = None,
             dp = auto_dp_size(batch_size, avail)
         else:
             dp = avail
+        _check_multiprocess(dp * mp)
         return Mesh(
             np.asarray(devices[:dp * mp]).reshape(dp, mp),
             (DATA_AXIS, MODEL_AXIS))
@@ -84,6 +101,7 @@ def make_mesh(dp_size: int = 0, batch_size: Optional[int] = None,
         n = auto_dp_size(batch_size, len(devices))
     else:
         n = len(devices)
+    _check_multiprocess(n)
     return Mesh(np.array(devices[:n]), (DATA_AXIS,))
 
 

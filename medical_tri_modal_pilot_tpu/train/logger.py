@@ -50,6 +50,11 @@ class Logger:
         self.best_score = 0.0
         self.best_auc = 0.0
         self.best_iter = 0
+        # explicit first-save tracking, identical on every process (a
+        # filesystem probe would diverge across hosts without a shared
+        # results dir); mark_restored() sets it on resume so a restored
+        # best checkpoint is never clobbered by the first post-resume save
+        self._saved_once = False
         self.val_results = None
         self.test_results = None
         self._events = open(
@@ -80,9 +85,15 @@ class Logger:
         self.log_scalar("val/loss", val_loss, step)
         for k in ("auc", "apr", "f1"):
             self.log_scalar(f"val/{k}", m[k], step)
+        # aux-rmse runs report the rmse aggregate next to auc/apr/f1
+        # (reference logger.py:95-99)
+        rmse_txt = ""
+        if "rmse" in m:
+            self.log_scalar("val/rmse", m["rmse"], step)
+            rmse_txt = f" rmse={m['rmse']:.4f}"
         self.val_results = m
         print(f"[val @ {step}] loss={val_loss:.4f} auc={m['auc']:.4f} "
-              f"apr={m['apr']:.4f} f1={m['f1']:.4f}")
+              f"apr={m['apr']:.4f} f1={m['f1']:.4f}" + rmse_txt)
         return m
 
     def save(self, state, step: int, epoch: int) -> bool:
@@ -100,11 +111,12 @@ class Logger:
         best = ckpt_path(self.cfg.dir_result, self.cfg.project_name,
                          "best", self.fold, self.seed)
         # always promote the first save so a best ckpt exists even when
-        # validation never ran (3_test defaults to best_*.pth).
-        # Non-primary processes track is-first via best_iter (the path
-        # check only works where the file is written).
-        first = (not ckpt_exists(best)) if self.primary else \
-            (self.best_iter == 0 and self.best_score == 0.0)
+        # validation never ran (3_test defaults to best_*.pth). Tracked by
+        # an explicit per-process flag — NOT the filesystem, which only the
+        # primary can see — so the best-score state stays replicated across
+        # hosts (every process runs this method on identical metrics).
+        first = not self._saved_once
+        self._saved_once = True
         if score > self.best_score or first:
             self.best_score = score
             self.best_auc = m["auc"] or 0.0
@@ -115,10 +127,17 @@ class Logger:
             return True
         return False
 
+    def mark_restored(self):
+        """Resume restored a prior best checkpoint: suppress the
+        promote-first-save rule so it is not overwritten by a worse state."""
+        self._saved_once = True
+
     def test_result_only(self):
         m = self.evaluator.performance_metric()
         self.test_results = m
-        print(f"[test] auc={m['auc']:.4f} apr={m['apr']:.4f} f1={m['f1']:.4f}")
+        rmse_txt = f" rmse={m['rmse']:.4f}" if "rmse" in m else ""
+        print(f"[test] auc={m['auc']:.4f} apr={m['apr']:.4f} "
+              f"f1={m['f1']:.4f}" + rmse_txt)
         return m
 
     def val_result_only(self):

@@ -110,10 +110,16 @@ class Evaluator:
     def performance_metric(self):
         y = np.concatenate(self._y) if self._y else np.zeros(0)
         p = np.concatenate(self._p) if self._p else np.zeros(0)
+        # aux-rmse aggregate (metrics.py:83-88): the mean of the per-batch
+        # rmse scalars passed to add_batch — reported next to auc/apr/f1
+        # whenever any were accumulated
+        rmse = (dict(rmse=float(np.mean(np.concatenate(self._rmse))))
+                if self._rmse else {})
         if len(y) == 0:
             return dict(auc=float("nan"), apr=float("nan"), f1=0.0,
-                        threshold=0.5, tpr=0.0, tnr=0.0)
+                        threshold=0.5, tpr=0.0, tnr=0.0, **rmse)
         auc = auroc(y, p)
         apr = auprc(y, p)
         f1, thr, tpr, tnr = best_f1(y, p)
-        return dict(auc=auc, apr=apr, f1=f1, threshold=thr, tpr=tpr, tnr=tnr)
+        return dict(auc=auc, apr=apr, f1=f1, threshold=thr, tpr=tpr,
+                    tnr=tnr, **rmse)

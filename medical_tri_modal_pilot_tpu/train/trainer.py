@@ -389,7 +389,19 @@ class Trainer:
             # aux term) otherwise (trainer.py:218-233)
             loss = _bce(out, batch["target"]).mean()
         probs = jax.nn.sigmoid(out)
-        return probs, loss
+        # eval-time RMSE aggregate (reference intent, trainer.py:210-214 +
+        # metrics.py:83-88: MSELoss(reduction='none') on the aux head,
+        # restricted to positive samples, sqrt(mean), nan->0): one scalar
+        # per batch, averaged across batches by the Evaluator
+        eval_rmse = None
+        if (rmse is not None and "rmse" in cfg.auxiliary_loss_type
+                and cfg.model_types == "detection"):
+            err = (rmse.astype(jnp.float32) - batch["target_aux"]) ** 2
+            pos = batch["target"] == 1
+            eval_rmse = jnp.nan_to_num(jnp.sqrt(
+                jnp.sum(jnp.where(pos, err, 0.0))
+                / jnp.maximum(pos.sum(), 1)))
+        return probs, loss, eval_rmse
 
     # ------------------------------------------------------------------
     def train_step(self, batch: Dict[str, np.ndarray],
@@ -401,12 +413,15 @@ class Trainer:
 
     def eval_step(self, batch: Dict[str, np.ndarray],
                   on_device: bool = False):
+        """Returns ``(probs, loss, rmse)``; rmse is None unless the run has
+        an aux-rmse head (``--auxiliary-loss-type rmse``, detection)."""
         dbatch = batch if on_device else self._device_batch(batch)
-        probs, loss = self._eval_step(self.state, dbatch)
+        probs, loss, rmse = self._eval_step(self.state, dbatch)
         # multi-host: probs stay data-sharded across processes; gather so
         # every host's Evaluator sees the full per-sample vector
         from ..parallel.distributed import gather_global
-        return gather_global(probs), float(loss)
+        return (gather_global(probs), float(loss),
+                None if rmse is None else float(rmse))
 
     def prefetch(self, loader, depth: int = 2):
         """Iterate a host loader with device transfers ``depth`` ahead."""

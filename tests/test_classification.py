@@ -56,7 +56,7 @@ def test_classification_mode_train_eval(synth, tmp_path, loss_types,
     assert all(np.isfinite(l) for l in losses), losses
     ev = Evaluator()
     for b in te:
-        probs, loss = trainer.eval_step(b)
+        probs, loss, _ = trainer.eval_step(b)
         assert np.isfinite(loss)
         ev.add_batch(b["target"], probs)
     m = ev.performance_metric()

@@ -102,6 +102,6 @@ def test_multitoken_classification_train_step():
     losses = [float(trainer.train_step(batch)) for _ in range(3)]
     assert all(np.isfinite(losses)), losses
     assert losses[-1] < losses[0], "loss should decrease on a toy problem"
-    probs, eval_loss = trainer.eval_step(batch)
+    probs, eval_loss, _ = trainer.eval_step(batch)
     assert probs.shape == (8,)
     assert np.isfinite(eval_loss)

@@ -44,7 +44,7 @@ def test_unimodal_train_eval_ckpt(tmp_path):
     logger = Logger(cfg, fold=0, seed=412)
     logger.evaluator.reset()
     for batch in test_loader:
-        probs, loss = trainer.eval_step(batch)
+        probs, loss, _ = trainer.eval_step(batch)
         assert probs.shape == (cfg.batch_size,)
         assert np.all((probs >= 0) & (probs <= 1))
         logger.evaluator.add_batch(batch["target"], probs)
@@ -99,8 +99,8 @@ def test_tensor_parallel_sharded_step_matches_dp():
     loss_dp = float(dp.train_step(batch))
     loss_tp = float(tp.train_step(batch))
     assert abs(loss_dp - loss_tp) < 1e-4
-    probs_dp, _ = dp.eval_step(batch)
-    probs_tp, _ = tp.eval_step(batch)
+    probs_dp, *_ = dp.eval_step(batch)
+    probs_tp, *_ = tp.eval_step(batch)
     import numpy as np
     np.testing.assert_allclose(np.asarray(probs_dp), np.asarray(probs_tp),
                                atol=1e-4)

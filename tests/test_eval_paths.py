@@ -75,7 +75,7 @@ def test_observed_prop_drops_modalities(synth, tmp_path):
     trainer = Trainer(cfg, model, 1, next(iter(loader)), seed=412,
                       eval_only=True)
     for batch in loader:
-        probs, loss = trainer.eval_step(batch)
+        probs, loss, _ = trainer.eval_step(batch)
         assert np.all(np.isfinite(probs))
         assert np.isfinite(loss)
 
@@ -96,6 +96,6 @@ def test_multiimages_end_to_end(synth, tmp_path):
     loss = float(trainer.train_step(batch))
     assert np.isfinite(loss)
     for b in test_loader:
-        probs, _ = trainer.eval_step(b)
+        probs, *_ = trainer.eval_step(b)
         assert np.all(np.isfinite(probs))
         break

@@ -55,7 +55,7 @@ from medical_tri_modal_pilot_tpu.train.trainer import Trainer
 trainer = Trainer(cfg, get_model(cfg), iters_per_epoch=4,
                   sample_batch=batch, seed=0)
 loss = float(trainer.train_step(batch))
-probs, eval_loss = trainer.eval_step(batch)
+probs, eval_loss, _ = trainer.eval_step(batch)
 out = {"pid": pid, "primary": is_primary(), "loss": loss,
        "eval_loss": float(eval_loss), "probs": np.asarray(probs).tolist()}
 print("RESULT " + json.dumps(out), flush=True)

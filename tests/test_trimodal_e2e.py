@@ -57,7 +57,7 @@ def test_trimodal_train_and_eval(synth, tmp_path, model, itypes):
     assert all(np.isfinite(losses)), losses
     seen_missing = []
     for b in test_loader:
-        probs, loss = trainer.eval_step(b)
+        probs, loss, _ = trainer.eval_step(b)
         assert np.all(np.isfinite(probs))
         seen_missing.append(b["missing"])
     if seen_missing:

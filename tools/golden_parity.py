@@ -374,7 +374,7 @@ def phase_ours(spec_path: str) -> None:
     with jax.default_matmul_precision("highest"):
         for i in range(0, len(samples) - B + 1, B):
             batch = stack(samples[i:i + B])
-            p, _ = trainer.eval_step(batch)
+            p, *_ = trainer.eval_step(batch)
             probs.append(np.asarray(p, np.float64))
             y_true.append(batch["target"].astype(np.float64))
             ev.add_batch(batch["target"], np.asarray(p))
