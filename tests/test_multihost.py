@@ -49,6 +49,12 @@ assert jax.device_count() == 4, jax.devices()
 
 import __graft_entry__ as g
 cfg = g._tiny_cfg(batch_size=8, trimodal=True).replace(dp_size=4)
+if sys.argv[5] == "kern":
+    # pallas kernels forced (interpret mode on CPU): the shard_map-wrapped
+    # kernels must execute across PROCESS boundaries exactly as on the
+    # single-process mesh. dropout=0 so in-kernel PRNG streams can't
+    # differ between process layouts.
+    cfg = cfg.replace(use_pallas=2, dropout=0.0)
 batch = g._synthetic_batch(cfg, 8, seed=7)   # identical on every process
 from medical_tri_modal_pilot_tpu.models import get_model
 from medical_tri_modal_pilot_tpu.train.trainer import Trainer
@@ -78,7 +84,8 @@ def _result(proc, timeout=600):
 
 
 @pytest.mark.slow
-def test_two_process_mesh_matches_single_process(tmp_path):
+@pytest.mark.parametrize("mode", ["xla", "kern"])
+def test_two_process_mesh_matches_single_process(tmp_path, mode):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["JAX_PLATFORMS"] = "cpu"
@@ -87,8 +94,9 @@ def test_two_process_mesh_matches_single_process(tmp_path):
         s.bind(("localhost", 0))
         port = str(s.getsockname()[1])
 
-    procs = [_run_child([str(i), "2", port, "dist"], env) for i in range(2)]
-    single = _run_child(["0", "1", port, "single"], env)
+    procs = [_run_child([str(i), "2", port, "dist", mode], env)
+             for i in range(2)]
+    single = _run_child(["0", "1", port, "single", mode], env)
     r0, r1 = (_result(p) for p in procs)
     rs = _result(single)
 
