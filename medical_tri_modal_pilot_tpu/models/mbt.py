@@ -187,6 +187,199 @@ class MBTFusion(nn.Module):
         return [x[:, n:] for x in xs] if in_fusion else xs
 
 
+class MBTEncoderFusion(nn.Module):
+    """MBTEncoder (mbt_encoder.py:786-891): the generic n-modality MBT
+    variant with bottleneck tokens appended at the END of each stream and a
+    missing-agnostic plain-mean bottleneck refresh.
+
+    Dead code in the reference — no module under ``8_missing_models/``
+    constructs it (VERDICT r3 missing #3) — ported for completeness of
+    record. Executed-behavior quirks preserved (verified by running the
+    torch class, not its comments):
+
+      * ``n_modality == 3`` force-overwrites mask/use_pe to all-True
+        (mbt_encoder.py:843,851);
+      * the bottleneck-mask gate reads ``self.mask[i]`` where ``i`` is the
+        STALE index of an earlier loop — i.e. ``mask[n_modality-1]`` gates
+        every modality's bottleneck mask (mbt_encoder.py:879);
+      * bottleneck masks are valid-PREFIX masks of count ``length+1+n``
+        over ``[stream | bottlenecks]`` even though the bottlenecks sit at
+        the END — with padded streams the bottleneck rows are masked out
+        and pad rows unmasked (mbt_encoder.py:879);
+      * no txt ``==3`` zeroing, no missing-aware mixing: the refresh is a
+        plain mean over all modalities every fusion layer
+        (mbt_encoder.py:889-890).
+    """
+    n_modality: int = 2
+    bottlenecks_n: int = 4
+    fusion_startidx: int = 0
+    n_layers: int = 6
+    n_head: int = 4
+    d_model: int = 256
+    d_ff: int = 1024
+    dropout: float = 0.1
+    use_pe: Tuple[bool, ...] = (True, True)
+    mask: Tuple[bool, ...] = (True, True)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc_inputs: Sequence[jnp.ndarray],
+                 lengths: Sequence[jnp.ndarray],
+                 deterministic: bool = True) -> List[jnp.ndarray]:
+        M, n = self.n_modality, self.bottlenecks_n
+        B, D = enc_inputs[0].shape[0], self.d_model
+        use_pe = (True,) * M if M == 3 else self.use_pe
+        mask = (True,) * M if M == 3 else self.mask
+
+        cls_tokens = [
+            self.param(f"cls_token_{m}", nn.initializers.normal(1.0),
+                       (1, 1, D)) for m in range(M)]
+        bottleneck_init = self.param(
+            "bottlenecks", nn.initializers.normal(1.0), (1, n, D))
+
+        xs, key_masks, b_key_masks = [], [], []
+        for m in range(M):
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls_tokens[m], (B, 1, D)).astype(self.dtype),
+                 enc_inputs[m].astype(self.dtype)], axis=1)
+            L = x.shape[1]
+            vlen = lengths[m] + 1
+            key_masks.append(length_key_mask(vlen, L) if mask[m] else None)
+            # stale-index bug: gated on the LAST modality's mask flag
+            b_key_masks.append(
+                length_key_mask(vlen + n, L + n) if mask[M - 1] else None)
+            h = LayerNorm(dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
+            if use_pe[m]:
+                h = h + positional_encoding(L, D, self.dtype)
+            xs.append(nn.Dropout(self.dropout)(h, deterministic=deterministic))
+
+        bottlenecks = jnp.broadcast_to(
+            bottleneck_init, (B, n, D)).astype(self.dtype)
+        for layer in range(self.n_layers):
+            if layer < self.fusion_startidx:
+                xs = [encoder_layer(
+                          D, self.n_head, self.d_ff, self.dropout, self.dtype,
+                          name=f"layers_{layer}_{m}")(xs[m], key_masks[m],
+                                                      deterministic)
+                      for m in range(M)]
+                continue
+            bn_outs, new_xs = [], []
+            for m in range(M):
+                L = xs[m].shape[1]
+                out = encoder_layer(
+                    D, self.n_head, self.d_ff, self.dropout, self.dtype,
+                    name=f"layers_{layer}_{m}")(
+                        jnp.concatenate([xs[m], bottlenecks.astype(xs[m].dtype)],
+                                        axis=1),
+                        b_key_masks[m], deterministic)
+                bn_outs.append(out[:, L:])
+                new_xs.append(out[:, :L])
+            xs = new_xs
+            bottlenecks = jnp.mean(jnp.stack(bn_outs), axis=0)
+        return xs
+
+
+class MBTVSLTMAINFusion(nn.Module):
+    """TrimodalTransformerEncoder_MBT_VSLTMAIN (mbt_encoder.py:195-327):
+    MBT fusion whose LAST layer runs only the vslt stream and returns it
+    alone, with the same missing-aware candidate mixing as MBTFusion.
+
+    Dead code in the reference — no module under ``8_missing_models/``
+    constructs it (VERDICT r3 missing #3) — ported for completeness of
+    record at its only executable envelope, verified by running the torch
+    class: ``cls_num == n_modality`` (each modality consumes one slot of
+    the cls ParameterList; fewer slots raise IndexError) and
+    ``fusion_startidx == 0`` (pre-fusion masks are built over
+    ``fixed+cls_num`` positions while each stream only gained ONE cls
+    token, so any pre-fusion layer raises a size mismatch in torch).
+
+    Quirks preserved:
+      * modality 0's valid length grows by ``cls_num`` even though only one
+        cls token is prepended (mbt_encoder.py:264-265) — the mask
+        over-counts by cls_num-1 valid positions;
+      * txt rows with RAW varying length == 3 are zeroed (no +1 first,
+        mbt_encoder.py:267);
+      * the last fusion layer breaks after modality 0 and the module
+        returns ``[vslt_stream]`` only (mbt_encoder.py:311-315);
+      * ``layer_norms_after_concat`` exists in the reference but is never
+        applied (mbt_encoder.py:234) — not reproduced.
+    """
+    n_modality: int = 3
+    bottlenecks_n: int = 4
+    n_layers: int = 6
+    n_head: int = 4
+    d_model: int = 256
+    d_ff: int = 1024
+    dropout: float = 0.1
+    txt_idx: int = 2
+    use_pe: Tuple[bool, ...] = (True, True, True)
+    mask: Tuple[bool, ...] = (True, False, True)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc_inputs: Sequence[jnp.ndarray],
+                 varying_lengths: Sequence[jnp.ndarray],
+                 missing_num: jnp.ndarray,
+                 deterministic: bool = True) -> List[jnp.ndarray]:
+        M, n = self.n_modality, self.bottlenecks_n
+        B, D = enc_inputs[0].shape[0], self.d_model
+        cls_num = M   # the only executable envelope (class docstring)
+
+        cls_tokens = [
+            self.param(f"cls_token_{k}", nn.initializers.normal(1.0),
+                       (1, 1, D)) for k in range(cls_num)]
+        bottleneck_init = self.param(
+            "bottlenecks", nn.initializers.normal(1.0), (1, n, D))
+
+        xs, b_key_masks = [], []
+        for m in range(M):
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls_tokens[m], (B, 1, D)).astype(self.dtype),
+                 enc_inputs[m].astype(self.dtype)], axis=1)
+            L = x.shape[1]
+            vlen = varying_lengths[m] + (cls_num if m == 0 else 0)
+            if m == self.txt_idx:
+                vlen = jnp.where(varying_lengths[m] == 3, 0, vlen)
+            # bottlenecks are PREPENDED here, so the valid-prefix mask over
+            # [bottlenecks | cls | stream] is structurally consistent
+            b_key_masks.append(
+                length_key_mask(vlen + n, L + n) if self.mask[m] else None)
+            h = LayerNorm(dtype=self.dtype, name=f"layer_norm_in_{m}")(x)
+            if self.use_pe[m]:
+                h = h + positional_encoding(L, D, self.dtype)
+            xs.append(nn.Dropout(self.dropout)(h, deterministic=deterministic))
+
+        W = jnp.asarray(missing_candidate_weights(M), dtype=jnp.float32)
+        onehot = jax.nn.one_hot(missing_num, W.shape[0], dtype=jnp.float32)
+        mix = jnp.einsum('bk,km->bm', onehot, W,
+                         precision=jax.lax.Precision.HIGHEST)
+
+        bottlenecks = jnp.broadcast_to(
+            bottleneck_init, (B, n, D)).astype(self.dtype)
+        for layer in range(self.n_layers):
+            last_layer = (layer == self.n_layers - 1)
+            bn_outs, new_xs = [], []
+            for m in range(M):
+                out = encoder_layer(
+                    D, self.n_head, self.d_ff, self.dropout, self.dtype,
+                    name=f"layers_{layer}_{m}")(
+                        jnp.concatenate(
+                            [bottlenecks.astype(xs[m].dtype), xs[m]], axis=1),
+                        b_key_masks[m], deterministic)
+                bn_outs.append(out[:, :n])
+                new_xs.append(out[:, n:])
+                if last_layer:
+                    break   # reference :311: only the vslt stream survives
+            if last_layer:
+                return [new_xs[0]]
+            xs = new_xs
+            stack = jnp.stack(bn_outs)                       # [M, B, n, D]
+            bottlenecks = jnp.einsum(
+                "bm,mbnd->bnd", mix.astype(stack.dtype), stack,
+                precision=jax.lax.Precision.HIGHEST)
+        return [xs[0]]   # unreachable for n_layers >= 1; keeps jit happy
+
+
 # ---------------------------------------------------------------------------
 # Multi-token MBT (the "vmulti" family)
 # ---------------------------------------------------------------------------

@@ -396,6 +396,134 @@ def test_bimodal_mbt_parity(ref):
                                    atol=2e-4, err_msg=f"modality {m}")
 
 
+# ---------------------------------------------------------------------------
+# dead-in-reference MBT variants, ported for completeness of record
+# (VERDICT r3 missing #3): MBTEncoder + TrimodalTransformerEncoder_MBT_VSLTMAIN
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_modality,fusion_startidx,use_pe,mask", [
+    (2, 1, [True, False], [True, False]),
+    (2, 0, [True, True], [True, True]),
+    (3, 0, [True, True], [True, True]),   # forced all-True inside forward
+])
+def test_mbt_encoder_parity(ref, n_modality, fusion_startidx, use_pe, mask):
+    """MBTEncoder (dead in the reference, mbt_encoder.py:786-891) vs our
+    MBTEncoderFusion with copied weights — covers the stale-index
+    bottleneck-mask gate (mask[-1] gates every modality) and the
+    bottlenecks-at-END prefix-mask quirk."""
+    from builder.models.src.transformer.mbt_encoder import MBTEncoder
+    from medical_tri_modal_pilot_tpu.models.mbt import MBTEncoderFusion
+
+    torch.manual_seed(7)
+    d, h, layers, bn, b = 32, 4, 3, 2, 4
+    lens = (10, 7, 9)[:n_modality]
+    ref_enc = MBTEncoder(
+        n_modality=n_modality, bottlenecks_n=bn,
+        fusion_startidx=fusion_startidx, d_input=d, n_layers=layers,
+        n_head=h, d_model=d, d_ff=4 * d, dropout=0.0,
+        use_pe=list(use_pe), mask=list(mask))
+    ref_enc.eval()
+    rng = np.random.default_rng(7)
+    inputs = [rng.normal(size=(b, L, d)).astype(np.float32) for L in lens]
+    lengths = [np.array([10, 3, 7, 5]), np.array([7, 2, 7, 4]),
+               np.array([9, 3, 1, 9])][:n_modality]
+    with torch.no_grad():
+        ref_out, _ = ref_enc([torch.tensor(x) for x in inputs],
+                             lengths=[torch.tensor(v.copy())
+                                      for v in lengths])
+
+    fusion = MBTEncoderFusion(
+        n_modality=n_modality, bottlenecks_n=bn,
+        fusion_startidx=fusion_startidx, n_layers=layers, n_head=h,
+        d_model=d, d_ff=4 * d, dropout=0.0, use_pe=tuple(use_pe),
+        mask=tuple(mask))
+    jx = [jnp.asarray(x) for x in inputs]
+    jlen = [jnp.asarray(v) for v in lengths]
+    variables = fusion.init(jax.random.PRNGKey(4), jx, jlen)
+    p = jax.tree.map(lambda v: v, dict(variables["params"]))
+    for m in range(n_modality):
+        p[f"cls_token_{m}"] = jnp.asarray(
+            t2n(ref_enc.cls_token_per_modality[m]))
+        ln = ref_enc.layer_norms_in[m]
+        p[f"layer_norm_in_{m}"] = {"scale": jnp.asarray(t2n(ln.weight)),
+                                   "bias": jnp.asarray(t2n(ln.bias))}
+    p["bottlenecks"] = jnp.asarray(t2n(ref_enc.bottlenecks))
+    for layer in range(layers):
+        for m in range(n_modality):
+            p[f"layers_{layer}_{m}"] = _copy_encoder_layer(
+                ref_enc.layer_stacks[layer][m],
+                dict(p[f"layers_{layer}_{m}"]))
+    with jax.default_matmul_precision("highest"):
+        ours = fusion.apply({"params": p}, jx, jlen)
+    for m in range(n_modality):
+        np.testing.assert_allclose(np.asarray(ours[m]), t2n(ref_out[m]),
+                                   atol=2e-4, err_msg=f"modality {m}")
+
+
+def test_mbt_vsltmain_parity(ref):
+    """TrimodalTransformerEncoder_MBT_VSLTMAIN (dead in the reference,
+    mbt_encoder.py:195-327) vs our MBTVSLTMAINFusion with copied weights,
+    at the class's only executable envelope (cls_num == n_modality,
+    fusion_startidx == 0 — anything else raises in torch). The last fusion
+    layer returns only the vslt stream."""
+    from builder.models.src.transformer.mbt_encoder import (
+        TrimodalTransformerEncoder_MBT_VSLTMAIN)
+    from medical_tri_modal_pilot_tpu.models.mbt import MBTVSLTMAINFusion
+
+    torch.manual_seed(9)
+    d, h, layers, bn, b = 32, 4, 3, 2, 4
+    lens = (10, 7, 9)
+    use_pe, mask = [True, True, True], [True, False, True]
+    ref_enc = TrimodalTransformerEncoder_MBT_VSLTMAIN(
+        batch_size=b, n_modality=3, bottlenecks_n=bn, fusion_startidx=0,
+        d_input=d, n_layers=layers, n_head=h, d_model=d, d_ff=4 * d,
+        dropout=0.0, txt_idx=2, cls_num=3, use_pe=use_pe, mask=mask)
+    ref_enc.eval()
+    rng = np.random.default_rng(9)
+    inputs = [rng.normal(size=(b, L, d)).astype(np.float32) for L in lens]
+    # txt row 1 has raw varying length 3 -> zeroed (pre-+1, unlike MBT)
+    varying = [np.array([10, 3, 7, 5]), np.array([7, 2, 7, 4]),
+               np.array([9, 3, 1, 9])]
+    missing = np.array([0, 1, 2, 3])
+    with torch.no_grad():
+        ref_out, _ = ref_enc(
+            [torch.tensor(x) for x in inputs],
+            fixed_lengths=list(lens),
+            varying_lengths=[torch.tensor(v.copy()) for v in varying],
+            missing=torch.tensor(missing))
+    assert len(ref_out) == 1   # last layer keeps only the vslt stream
+
+    fusion = MBTVSLTMAINFusion(
+        n_modality=3, bottlenecks_n=bn, n_layers=layers, n_head=h,
+        d_model=d, d_ff=4 * d, dropout=0.0, txt_idx=2,
+        use_pe=tuple(use_pe), mask=tuple(mask))
+    jx = [jnp.asarray(x) for x in inputs]
+    jvar = [jnp.asarray(v) for v in varying]
+    variables = fusion.init(jax.random.PRNGKey(5), jx, jvar,
+                            jnp.asarray(missing))
+    p = jax.tree.map(lambda v: v, dict(variables["params"]))
+    for k in range(3):
+        p[f"cls_token_{k}"] = jnp.asarray(
+            t2n(ref_enc.cls_token_per_modality[k]))
+    for m in range(3):
+        ln = ref_enc.layer_norms_in[m]
+        p[f"layer_norm_in_{m}"] = {"scale": jnp.asarray(t2n(ln.weight)),
+                                   "bias": jnp.asarray(t2n(ln.bias))}
+    p["bottlenecks"] = jnp.asarray(t2n(ref_enc.bottlenecks))
+    for layer in range(layers):
+        for m in range(3):
+            if f"layers_{layer}_{m}" not in p:
+                continue   # last layer: only the vslt stack exists
+            p[f"layers_{layer}_{m}"] = _copy_encoder_layer(
+                ref_enc.layer_stacks[layer][m],
+                dict(p[f"layers_{layer}_{m}"]))
+    with jax.default_matmul_precision("highest"):
+        ours = fusion.apply({"params": p}, jx, jvar, jnp.asarray(missing))
+    assert len(ours) == 1
+    np.testing.assert_allclose(np.asarray(ours[0]), t2n(ref_out[0]),
+                               atol=2e-4)
+
+
 def test_vflexible_head_formula():
     """TRI_MBT_VFLEXIBLE's masked-softmax cls weighting reproduces the
     reference formula (tri_mbt_vflexible.py:148-165, 268-286): weights
