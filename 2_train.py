@@ -203,10 +203,15 @@ def main() -> None:
                                     logger.best_score, epoch,
                                     logger.best_iter, iteration)
 
+        from medical_tri_modal_pilot_tpu.data.pipeline import length_rebatch
         for epoch in range(start_epoch, seed_cfg.epochs + 1):
+            # --length-rebatch: sort pooled samples by TIE length so the
+            # --tie-buckets prefix batches compile/run at short lengths
+            epoch_iter = length_rebatch(train_loader,
+                                        seed_cfg.length_rebatch)
             if multi_k > 1:
                 pending = []
-                for batch in train_loader:
+                for batch in epoch_iter:
                     pending.append(batch)
                     if len(pending) == multi_k:
                         run_steps(pending, epoch)
@@ -215,7 +220,7 @@ def main() -> None:
                     run_steps(pending[:1], epoch)
                     pending = pending[1:]
             else:
-                for batch in trainer.prefetch(train_loader):
+                for batch in trainer.prefetch(epoch_iter):
                     loss = trainer.train_step(batch, on_device=True)
                     run_steps_log = float(loss)
                     iteration += 1

@@ -277,6 +277,25 @@ def build_parser() -> argparse.ArgumentParser:
                         help='optimizer steps per device dispatch (lax.scan '
                              'super-batches, amortizes host->device dispatch '
                              'latency); 0 = auto (4 for TIE/QIE on TPU, else 1)')
+    parser.add_argument('--tie-buckets', type=str, default="auto",
+                        help='static TIE stream-length buckets: each '
+                             'train/eval batch is sliced (before device '
+                             'transfer) to the smallest bucket >= its max '
+                             'input_length, so short batches execute and '
+                             'transfer proportionally less — one XLA '
+                             'compilation per bucket. "auto" = 256,512,'
+                             'TIE_len (TIE/QIE only); "off" disables; or '
+                             'comma ints. Padding rows are fully masked, so '
+                             'outputs are bucket-invariant '
+                             '(tests/test_tie_buckets.py)')
+    parser.add_argument('--length-rebatch', type=int, default=0,
+                        help='pool N consecutive train batches, stable-sort '
+                             'their samples by TIE input_length and '
+                             're-chunk, so --tie-buckets fires on the '
+                             'sorted prefix batches (data/pipeline.py::'
+                             'length_rebatch). Changes batch composition '
+                             'only (same per-pool sample multiset); '
+                             '0/1 = off (reference batch order)')
     parser.add_argument('--image-cache-mb', type=int, default=256,
                         help='byte budget (MB) for the host decoded-image '
                              'LRU: caches each CXR\'s deterministic '
@@ -414,6 +433,8 @@ class Config:
     img_pack: int
     img_pack_frac: float
     train_multi_k: int
+    tie_buckets: str
+    length_rebatch: int
     image_cache_mb: int
     # derived
     dir_root: str = "."

@@ -223,6 +223,46 @@ def get_test_data_loader(cfg: Config) -> BatchLoader:
                        worker_type=cfg.worker_type)
 
 
+def length_rebatch(loader, pool_batches: int):
+    """Regroup consecutive train batches by TIE length (--length-rebatch):
+    pool P assembled batches, stable-sort their samples by input_length,
+    re-chunk into the same batch sizes. Combined with --tie-buckets this
+    turns a uniform-length pool into mostly-short batches that hit the
+    small compiled buckets (a pool's sorted prefix batches pay only their
+    own max length; only the tail batch pays the pool max).
+
+    Each pool holds exactly the sampler's sample multiset — only batch
+    COMPOSITION changes, a bounded, documented deviation from the
+    reference's i.i.d. batch order (default off; the reference has no
+    analogous knob). Deterministic given the sampler's epoch order."""
+    if pool_batches <= 1:
+        yield from loader
+        return
+
+    def resort(pool):
+        if "input_length" not in pool[0] or len(pool) == 1:
+            yield from pool
+            return
+        keys = list(pool[0].keys())
+        cat = {k: np.concatenate([b[k] for b in pool]) for k in keys}
+        order = np.argsort(np.asarray(cat["input_length"]), kind="stable")
+        off = 0
+        for b in pool:
+            n = len(b["input_length"])
+            idx = order[off:off + n]
+            off += n
+            yield {k: cat[k][idx] for k in keys}
+
+    pool = []
+    for batch in loader:
+        pool.append(batch)
+        if len(pool) == pool_batches:
+            yield from resort(pool)
+            pool = []
+    if pool:
+        yield from resort(pool)
+
+
 def device_prefetch(iterator, put_fn, depth: int = 2):
     """Wrap a host batch iterator so batches are shipped to the device
     ``depth`` steps ahead of consumption (device_put is async — the

@@ -260,6 +260,7 @@ class Trainer:
                     else "threefry2x32")
         jax.config.update("jax_default_prng_impl", prng)
         self._rng = jax.random.PRNGKey(seed)
+        self._buckets = self._resolve_buckets()
 
         batch = self._device_batch(sample_batch)
         missing_num = compute_missing_num(cfg, batch["missing"])
@@ -293,8 +294,48 @@ class Trainer:
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------
+    def _resolve_buckets(self) -> tuple:
+        """Static TIE stream-length buckets (--tie-buckets): a batch whose
+        max input_length fits a smaller bucket is sliced to it before
+        device transfer, cutting executed flops AND HBM/PCIe traffic
+        proportionally. TIE rows are time-ordered with padding at the END
+        (reference dataset_new.py:645-663) and every op downstream masks
+        by input_length, so outputs are bucket-invariant. One jit
+        compilation per bucket (shape-keyed cache)."""
+        cfg = self.cfg
+        spec = getattr(cfg, "tie_buckets", "auto")
+        if cfg.vslt_type not in ("TIE", "QIE") or spec in ("off", ""):
+            return ()
+        if spec == "auto":
+            cand = [b for b in (256, 512) if b < cfg.tie_len]
+        else:
+            cand = sorted({int(x) for x in spec.split(",")
+                           if x.strip() and 0 < int(x) < cfg.tie_len})
+        return tuple(cand) + (cfg.tie_len,) if cand else ()
+
+    def _bucket_batch(self, batch, tie_axis: int = 1):
+        """Slice the TIE stream to its batch bucket (host-side; see
+        _resolve_buckets). No-op when disabled, already-sliced, or the
+        batch isn't TIE-shaped."""
+        if not self._buckets:
+            return batch
+        v = batch.get("vslt")
+        if (v is None or v.ndim < tie_axis + 2
+                or v.shape[tie_axis] != self._buckets[-1]
+                or "input_length" not in batch):
+            return batch
+        ml = int(np.max(np.asarray(batch["input_length"])))
+        bucket = next((bk for bk in self._buckets if ml <= bk),
+                      self._buckets[-1])
+        if bucket >= v.shape[tie_axis]:
+            return batch
+        out = dict(batch)
+        out["vslt"] = (v[:, :bucket] if tie_axis == 1
+                       else v[:, :, :bucket])
+        return out
+
     def _device_batch(self, batch: Dict[str, np.ndarray]):
-        return shard_batch(self.mesh, batch)
+        return shard_batch(self.mesh, self._bucket_batch(batch))
 
     def _apply(self, params, batch_stats, batch, missing_num, deterministic,
                rng=None):
@@ -362,6 +403,7 @@ class Trainer:
         if not on_device:
             from jax.sharding import PartitionSpec as P
             from ..parallel.mesh import DATA_AXIS, put_global
+            batches = self._bucket_batch(batches, tie_axis=2)
             batches = jax.tree.map(
                 lambda x: put_global(self.mesh, P(None, DATA_AXIS), x),
                 batches)
