@@ -302,6 +302,13 @@ def build_parser() -> argparse.ArgumentParser:
                              'transform prefix (decode+equalize+fixed '
                              'resize) so warm epochs only pay the random '
                              'augment. 0 disables. Bit-identical outputs.')
+    parser.add_argument('--image-cache-dir', type=str, default="",
+                        help='persistent on-disk second level under the '
+                             'decoded-image LRU (.npy per image prefix), '
+                             'shared across worker processes and runs — '
+                             'the cold first epoch pays each jpeg decode '
+                             'once EVER instead of once per worker per '
+                             'run. Bit-identical outputs. "" disables.')
     return parser
 
 
@@ -435,6 +442,7 @@ class Config:
     train_multi_k: int
     tie_buckets: str
     length_rebatch: int
+    image_cache_dir: str
     image_cache_mb: int
     # derived
     dir_root: str = "."

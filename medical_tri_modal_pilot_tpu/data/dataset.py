@@ -103,8 +103,9 @@ class _Base:
                              "resize_crop": "resize_crop",
                              "resize_larger": "resize_crop"}[cfg.image_test_type]
         self.image_size = cfg.image_size
-        from .images import set_image_cache_mb
+        from .images import set_image_cache_dir, set_image_cache_mb
         set_image_cache_mb(cfg.image_cache_mb)
+        set_image_cache_dir(getattr(cfg, "image_cache_dir", ""))
         self.is_event_task = cfg.output_type in MULTIPLE_TASKS
         self._vslt_keep = ~np.array(cfg.vslt_mask)
         self._native = None

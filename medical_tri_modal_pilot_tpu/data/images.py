@@ -8,6 +8,7 @@ in [0, 1] with a static shape so batches stack directly for the device.
 from __future__ import annotations
 
 import math
+import os
 import random
 import threading
 from collections import OrderedDict
@@ -216,6 +217,55 @@ class _LRUBytes:
 
 _CACHE: Optional[_LRUBytes] = _LRUBytes(256 * 2 ** 20)
 
+# optional second level under the LRU (--image-cache-dir): the same
+# deterministic uint8 prefix arrays persisted as .npy files, shared
+# across worker PROCESSES and across runs — the cold first epoch of a
+# fresh process only pays the jpeg decode once per image EVER instead of
+# once per worker per run. Bit-exact (the cached stage is deterministic);
+# writes are atomic (tmp + rename), concurrent writers race benignly.
+_DISK_DIR: Optional[str] = None
+
+
+def set_image_cache_dir(d: Optional[str]) -> None:
+    global _DISK_DIR
+    _DISK_DIR = d or None
+    if _DISK_DIR:
+        os.makedirs(_DISK_DIR, exist_ok=True)
+
+
+def _disk_path(key) -> Optional[str]:
+    if _DISK_DIR is None:
+        return None
+    import hashlib
+    return os.path.join(
+        _DISK_DIR, hashlib.sha1(repr(key).encode()).hexdigest() + ".npy")
+
+
+def _disk_get(key) -> Optional[np.ndarray]:
+    fn = _disk_path(key)
+    if fn is None:
+        return None
+    try:
+        return np.load(fn)
+    except Exception:
+        return None
+
+
+def _disk_put(key, arr: np.ndarray) -> None:
+    fn = _disk_path(key)
+    if fn is None or os.path.exists(fn):
+        return
+    tmp = f"{fn}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "wb") as f:
+            np.save(f, arr)
+        os.replace(tmp, fn)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
 
 def set_image_cache_mb(mb: int) -> None:
     """Resize (or with 0, disable) the decoded-image LRU
@@ -246,6 +296,10 @@ def load_cxr(path: str, kind: str, size: int,
     tag, det_resize, fully_det = _PREFIX.get(kind, ("eq", False, False))
     key = (path, tag if tag != "full" else kind, size)
     cached = _CACHE.get(key)
+    if cached is None:
+        cached = _disk_get(key)
+        if cached is not None:
+            _CACHE.put(key, cached)
     if cached is not None:
         if fully_det:
             return to_tensor(Image.fromarray(cached))
@@ -254,10 +308,14 @@ def load_cxr(path: str, kind: str, size: int,
         img = _decode_eq(path)
         if fully_det:
             img = _transform_pil(img, kind, size, rng)
-            _CACHE.put(key, np.asarray(img, dtype=np.uint8))
+            arr = np.asarray(img, dtype=np.uint8)
+            _CACHE.put(key, arr)
+            _disk_put(key, arr)
             return to_tensor(img)
         if det_resize:
             img = _resize_shorter(img, round(size * 1.142))
-        _CACHE.put(key, np.asarray(img, dtype=np.uint8))
+        arr = np.asarray(img, dtype=np.uint8)
+        _CACHE.put(key, arr)
+        _disk_put(key, arr)
     return to_tensor(_transform_pil(img, kind, size, rng,
                                     after_prefix=True))

@@ -38,6 +38,41 @@ def test_image_cache_bit_exact(jpeg, kind):
         I.set_image_cache_mb(256)
 
 
+@pytest.mark.parametrize("kind", ["random", "resize_affine_crop",
+                                  "resize_eval"])
+def test_image_disk_cache_bit_exact_and_persistent(jpeg, tmp_path, kind):
+    """--image-cache-dir: the persistent .npy level under the LRU returns
+    bit-identical pixels, and a fresh 'process' (empty LRU, same dir)
+    hits the disk instead of re-decoding."""
+    size = 64
+    I.set_image_cache_mb(0)
+    ref = [I.load_cxr(jpeg, kind, size, random.Random(3)) for _ in range(2)]
+    cache_dir = str(tmp_path / "imgcache")
+    try:
+        I.set_image_cache_mb(64)
+        I.set_image_cache_dir(cache_dir)
+        miss = I.load_cxr(jpeg, kind, size, random.Random(3))
+        np.testing.assert_array_equal(ref[0], miss)
+        import os
+        files = os.listdir(cache_dir)
+        assert len(files) == 1 and files[0].endswith(".npy")
+        # fresh process simulation: drop the in-memory LRU, keep the dir
+        I.set_image_cache_mb(0)
+        I.set_image_cache_mb(64)
+        # decode must not run again: poison it to prove the disk hit
+        orig = I._decode_eq
+        I._decode_eq = lambda p: (_ for _ in ()).throw(
+            AssertionError("decode ran despite a disk-cache hit"))
+        try:
+            hit = I.load_cxr(jpeg, kind, size, random.Random(3))
+        finally:
+            I._decode_eq = orig
+        np.testing.assert_array_equal(ref[1], hit)
+    finally:
+        I.set_image_cache_dir(None)
+        I.set_image_cache_mb(256)
+
+
 def test_zero_array_shared_and_immutable():
     a = zero_array((4, 4))
     b = zero_array((4, 4))
