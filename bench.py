@@ -145,6 +145,10 @@ def _bench_host_pipeline(batch: int) -> dict:
                 "--model", "tri_mbt_vsltcls", "--batch-size", str(batch),
                 "--TIE-len", "1000", "--num-workers", "4",
                 "--worker-type", worker_type,
+                # token files live under {fix}/builder/data/text/; without
+                # this every txt1 stay would be DROPPED from the index
+                # (reference missing-branch semantics, dataset_new.py:306)
+                "--dir-root", fix,
             ])
             train_loader, _, _ = get_data_loaders(cfg)
             t0 = time.perf_counter()
@@ -216,6 +220,7 @@ def _bench_e2e_train() -> dict:
                "--image-cache-dir", "/tmp/graft_img_cache",   # persistent
                #                      decode cache: cold epochs stay warm
                #                      across workers and bench invocations
+               "--dir-root", fix,   # token files: {fix}/builder/data/text
                "--seed-list", "1004", "--dir-result", out_dir,
                "--project-name", "bench_e2e", "--log-iter", "1000000"]
         to = max(min(_remaining() - 20, 900), 60)

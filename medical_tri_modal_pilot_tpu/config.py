@@ -302,6 +302,14 @@ def build_parser() -> argparse.ArgumentParser:
                              'transform prefix (decode+equalize+fixed '
                              'resize) so warm epochs only pay the random '
                              'augment. 0 disables. Bit-identical outputs.')
+    parser.add_argument('--dir-root', type=str, default="",
+                        help='root under which builder/data/text/'
+                             'textDataset token files are resolved '
+                             '(reference derives this from cwd, '
+                             'control/config.py:155; additive flag so '
+                             'fixture sets can carry their own token '
+                             'files). "" keeps the reference cwd '
+                             'behavior.')
     parser.add_argument('--image-cache-dir', type=str, default="",
                         help='persistent on-disk second level under the '
                              'decoded-image LRU (.npy per image prefix), '
@@ -528,7 +536,8 @@ def config_from_namespace(ns: argparse.Namespace) -> Config:
             d[k] = tuple(v)
         elif isinstance(v, int):
             d[k] = (v,)
-    d["dir_root"] = os.getcwd()
+    if not d.get("dir_root"):
+        d["dir_root"] = os.getcwd()
     field_names = {f.name for f in dataclasses.fields(Config)}
     d = {k: v for k, v in d.items() if k in field_names}
     cfg = Config(**d)

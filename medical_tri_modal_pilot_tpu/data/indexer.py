@@ -103,9 +103,18 @@ def _aspect_ratio_ok(cxr_entry, cfg: Config) -> bool:
     return cfg.ar_lowerbound <= val <= cfg.ar_upperbound
 
 
-def load_stay(pkl_path: str, cfg: Config, txt_dict: dict) -> Optional[Stay]:
+def load_stay(pkl_path: str, cfg: Config, txt_dict: dict,
+              full_branch: bool = False) -> Optional[Stay]:
     """Load one stay pkl and apply the availability rewrites
-    (dataset_new.py:276-311)."""
+    (dataset_new.py:276-311).
+
+    ``full_branch`` selects the reference's train-full/test-full handling:
+    only the aspect-ratio img rewrite applies and the fullmodal gate drops
+    ineligible stays. In the missing branch (dataset_new.py:304-311), a
+    txt1 stay whose (pat_id, chid) is absent from the token dict is
+    DROPPED entirely (returns None, :306-307); present-but-empty tokens
+    rewrite the name to txt0 (:308-309); and an img1 name with no
+    cxr_input left rewrites to img0 (:310-311)."""
     file_name = pkl_path.split("/")[-1]
     with open(pkl_path, "rb") as f:
         raw = pickle.load(f)
@@ -118,17 +127,25 @@ def load_stay(pkl_path: str, cfg: Config, txt_dict: dict) -> Optional[Stay]:
         else:
             del raw["cxr_input"]
             file_name = file_name.replace("_img1", "_img0")
-    if "txt1" in file_name:
-        key = (int(raw["pat_id"]), int(raw["chid"]))
-        if key not in txt_dict or len(txt_dict[key]) == 0:
-            file_name = file_name.replace("_txt1_", "_txt0_")
+    if not full_branch:
+        if "txt1" in file_name:
+            key = (int(raw["pat_id"]), int(raw["chid"]))
+            if key not in txt_dict:
+                return None
+            if len(txt_dict[key]) == 0:
+                file_name = file_name.replace("_txt1_", "_txt0_")
+        if "cxr_input" not in raw and "img1" in file_name:
+            file_name = file_name.replace("_img1", "_img0")
     return Stay(path=pkl_path, file_name=file_name, raw=raw)
 
 
 def _passes_fullmodal_gate(stay: Stay, cfg: Config, txt_dict: dict) -> bool:
-    """train-full / test-full eligibility (dataset_new.py:294-303)."""
-    orig_name = stay.path.split("/")[-1]
-    if cfg.fullmodal_definition not in orig_name:
+    """train-full / test-full eligibility (dataset_new.py:294-303).
+
+    Checked against the AR-rewritten name (full_branch load_stay applies
+    no txt/img availability rewrites, matching the reference where the
+    definition check at :295 sees only the AR rewrite from :291)."""
+    if cfg.fullmodal_definition not in stay.file_name:
         return False
     if "cxr_input" not in stay.raw and "img1" in cfg.fullmodal_definition:
         return False
@@ -347,9 +364,12 @@ def _build_train_index(cfg: Config, pkl_paths: Sequence[str]) -> TrainIndex:
     txt_dict.update(load_txt_dict(cfg, "test"))
     index = TrainIndex()
 
+    inclusion_full = "train-full" in cfg.modality_inclusion
     for pkl_path in pkl_paths:
-        stay = load_stay(pkl_path, cfg, txt_dict)
-        if "train-full" in cfg.modality_inclusion:
+        stay = load_stay(pkl_path, cfg, txt_dict, full_branch=inclusion_full)
+        if stay is None:   # missing branch: txt1 not in token dict
+            continue
+        if inclusion_full:
             if not _passes_fullmodal_gate(stay, cfg, txt_dict):
                 continue
         if not _common_gates(stay, cfg):
@@ -484,9 +504,12 @@ def build_eval_index(cfg: Config, pkl_paths: Sequence[str], split: str) -> EvalI
         # generate from the whole train dir, like onetime_outbreak_valdataset_maker
         gen_paths = search_walk(cfg.train_data_path, ".pkl")
         rng = random.Random(cfg.seed)
+        val_full = "test-full" in cfg.modality_inclusion
         for p in gen_paths:
-            stay = load_stay(p, cfg, txt_dict)
-            if "test-full" in cfg.modality_inclusion:
+            stay = load_stay(p, cfg, txt_dict, full_branch=val_full)
+            if stay is None:   # missing branch: txt1 not in token dict
+                continue
+            if val_full:
                 if not _passes_fullmodal_gate(stay, cfg, txt_dict):
                     continue
             if not _common_gates(stay, cfg):
@@ -517,7 +540,9 @@ def build_eval_index(cfg: Config, pkl_paths: Sequence[str], split: str) -> EvalI
 
     staged: List[Tuple[EvalSample, int]] = []
     for p in pkl_paths:
-        stay = load_stay(p, cfg, txt_dict)
+        stay = load_stay(p, cfg, txt_dict, full_branch=inclusion_full)
+        if stay is None:   # missing branch: txt1 not in token dict
+            continue
         if inclusion_full and not _passes_fullmodal_gate(stay, cfg, txt_dict):
             continue
         if not _common_gates(stay, cfg):

@@ -110,3 +110,62 @@ def test_eval_index_matches_reference_structurally(extra, ref_sandbox):
     my_counts = Counter((s.pkl_path.split("/")[-1], s.target, t)
                         for s, t in zip(mine.samples, mine.type_list))
     assert my_counts == ref_counts
+
+
+def test_txt1_stay_not_in_txtdict_dropped_like_reference(tmp_path):
+    """Missing branch, txt1 stay whose (pat_id, chid) is NOT in the token
+    dict: the reference DROPS the stay (dataset_new.py:306-307), while a
+    present-but-empty entry only rewrites the name to txt0 (:308-309).
+    Token files are synthesized here so both cases actually fire (the
+    checked-in reference token files cover every sample stay, so the
+    golden configs above never hit the drop)."""
+    import pickle as pkl
+
+    td = "builder/data/text/textDataset"
+    os.makedirs(td, exist_ok=True)
+    os.makedirs("data/testIndexes", exist_ok=True)
+    import h5py
+    with h5py.File("data/mimic4_embeddings.h5", "w") as f:
+        f.create_group("found down").create_dataset(
+            "embedding", data=np.zeros((7, 768), np.float32))
+
+    train_dir = "/root/reference/data/sample_data/train"
+    txt1 = sorted(os.path.basename(p) for p in glob.glob(f"{train_dir}/*_txt1_*"))
+    assert len(txt1) >= 3
+    dropped, emptied = txt1[0], txt1[1]
+
+    def key_of(name):
+        raw = pkl.load(open(os.path.join(train_dir, name), "rb"))
+        return int(raw["pat_id"]), int(raw["chid"])
+
+    lines = []
+    for name in txt1:
+        p, c = key_of(name)
+        if name == dropped:
+            continue                       # key absent -> reference drops
+        toks = "" if name == emptied else "5 6 7"
+        lines.append(f"{p} {c} /{toks}/ 0 -1")
+    for split in ("train", "test"):
+        with open(f"{td}/mimic_icu_{split}_bert_textDataset.txt", "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    argv = BASE + ["--input-types", "vslt_img_txt", "--output-type",
+                   "intubation", "--modality-inclusion",
+                   "train-missing_test-missing"]
+    ref = import_reference(argv)
+    from builder.utils.utils import patient_wise_ordering
+    pd, kl = patient_wise_ordering(ref["args"])
+    train_list = sorted(p for k in kl[0] for p in pd[k])
+    cls = ref["dataset_new"].Multiple_Outbreaks_Training_Dataset
+    with contextlib.redirect_stdout(io.StringIO()):
+        ds = cls(ref["args"], data=train_list, data_type="training dataset")
+    ref_rows = [(d[0].split("/")[-1], tuple(d[1]), d[4], t)
+                for d, t in zip(ds._data_list, ds._type_list)]
+
+    cfg = parse_config(argv).replace(dir_root=str(tmp_path))
+    mine = _build_train_index(cfg, train_list)
+    my_rows = [(s.pkl_path.split("/")[-1], tuple(s.keys), s.target, t)
+               for s, t in zip(mine.samples, mine.type_list)]
+    assert my_rows == ref_rows
+    assert all(r[0] != dropped for r in my_rows), "not-in-dict stay must drop"
+    assert any(r[0] == emptied for r in my_rows), "empty-token stay must stay"
