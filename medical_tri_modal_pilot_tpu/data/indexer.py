@@ -32,7 +32,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import Config
-from .text import load_txt_dict
+from .text import load_txt_dict, txt_files_present
 
 # type-code remaps (dataset_new.py:240-241, 827-831)
 CLASS2DICT_MISSING = {3: 1, 6: 2, 9: 3, 2: 4, 8: 6, 11: 7, 1: 4, 4: 5, 7: 6, 10: 7}
@@ -104,7 +104,8 @@ def _aspect_ratio_ok(cxr_entry, cfg: Config) -> bool:
 
 
 def load_stay(pkl_path: str, cfg: Config, txt_dict: dict,
-              full_branch: bool = False) -> Optional[Stay]:
+              full_branch: bool = False,
+              txt_strict: bool = True) -> Optional[Stay]:
     """Load one stay pkl and apply the availability rewrites
     (dataset_new.py:276-311).
 
@@ -114,7 +115,12 @@ def load_stay(pkl_path: str, cfg: Config, txt_dict: dict,
     txt1 stay whose (pat_id, chid) is absent from the token dict is
     DROPPED entirely (returns None, :306-307); present-but-empty tokens
     rewrite the name to txt0 (:308-309); and an img1 name with no
-    cxr_input left rewrites to img0 (:310-311)."""
+    cxr_input left rewrites to img0 (:310-311).
+
+    ``txt_strict=False`` (set by the index builders when NO token file
+    exists under cfg.dir_root — a layout the reference cannot run at all,
+    its txtDictLoad raises) demotes the drop to the txt1->txt0 rewrite so
+    token-file-less datasets keep their stays with text treated missing."""
     file_name = pkl_path.split("/")[-1]
     with open(pkl_path, "rb") as f:
         raw = pickle.load(f)
@@ -131,8 +137,10 @@ def load_stay(pkl_path: str, cfg: Config, txt_dict: dict,
         if "txt1" in file_name:
             key = (int(raw["pat_id"]), int(raw["chid"]))
             if key not in txt_dict:
-                return None
-            if len(txt_dict[key]) == 0:
+                if txt_strict:
+                    return None
+                file_name = file_name.replace("_txt1_", "_txt0_")
+            elif len(txt_dict[key]) == 0:
                 file_name = file_name.replace("_txt1_", "_txt0_")
         if "cxr_input" not in raw and "img1" in file_name:
             file_name = file_name.replace("_img1", "_img0")
@@ -365,8 +373,10 @@ def _build_train_index(cfg: Config, pkl_paths: Sequence[str]) -> TrainIndex:
     index = TrainIndex()
 
     inclusion_full = "train-full" in cfg.modality_inclusion
+    strict = txt_files_present(cfg)
     for pkl_path in pkl_paths:
-        stay = load_stay(pkl_path, cfg, txt_dict, full_branch=inclusion_full)
+        stay = load_stay(pkl_path, cfg, txt_dict,
+                         full_branch=inclusion_full, txt_strict=strict)
         if stay is None:   # missing branch: txt1 not in token dict
             continue
         if inclusion_full:
@@ -505,8 +515,10 @@ def build_eval_index(cfg: Config, pkl_paths: Sequence[str], split: str) -> EvalI
         gen_paths = search_walk(cfg.train_data_path, ".pkl")
         rng = random.Random(cfg.seed)
         val_full = "test-full" in cfg.modality_inclusion
+        strict = txt_files_present(cfg)
         for p in gen_paths:
-            stay = load_stay(p, cfg, txt_dict, full_branch=val_full)
+            stay = load_stay(p, cfg, txt_dict,
+                             full_branch=val_full, txt_strict=strict)
             if stay is None:   # missing branch: txt1 not in token dict
                 continue
             if val_full:
@@ -539,8 +551,10 @@ def build_eval_index(cfg: Config, pkl_paths: Sequence[str], split: str) -> EvalI
     new_test_entries = False
 
     staged: List[Tuple[EvalSample, int]] = []
+    strict = txt_files_present(cfg)
     for p in pkl_paths:
-        stay = load_stay(p, cfg, txt_dict, full_branch=inclusion_full)
+        stay = load_stay(p, cfg, txt_dict,
+                         full_branch=inclusion_full, txt_strict=strict)
         if stay is None:   # missing branch: txt1 not in token dict
             continue
         if inclusion_full and not _passes_fullmodal_gate(stay, cfg, txt_dict):

@@ -24,6 +24,17 @@ def txt_dataset_path(cfg: Config, flow_type: str) -> str:
         f"mimic_icu_{flow_type}_{token_type}_textDataset.txt")
 
 
+def txt_files_present(cfg: Config) -> bool:
+    """True when any token file exists under cfg.dir_root. Gates the
+    strict reference missing-branch semantics (a txt1 stay with no token
+    entry is DROPPED, dataset_new.py:306-307): with no token files at all
+    the reference cannot run (txtDictLoad raises), so the indexer falls
+    back to the lenient txt1->txt0 rewrite instead of silently emptying
+    the index."""
+    return any(os.path.exists(txt_dataset_path(cfg, ft))
+               for ft in ("train", "test"))
+
+
 def load_txt_dict(cfg: Config, flow_type: str) -> Dict[Tuple[int, int], List[int]]:
     """Parse lines 'patid chid / tok tok ...' into {(pat, chid): [ids]}.
     Missing file → empty dict (sample-data runs have no token files)."""

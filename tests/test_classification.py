@@ -37,7 +37,9 @@ def _cfg(synth, tmp_path, loss_types, output_dim):
             "--transformer-num-layers", "2", "--transformer-dim", "64",
             "--transformer-num-head", "2", "--precision", "fp32",
             "--dir-result", str(tmp_path / "res")]
-    return parse_config(argv).replace(seed=412)
+    # dir_root -> the fixture's own token files (missing-branch semantics
+    # DROP txt1 stays whose key is absent from the token dict)
+    return parse_config(argv).replace(seed=412, dir_root=synth)
 
 
 @pytest.mark.parametrize("loss_types,output_dim", [

@@ -169,3 +169,24 @@ def test_txt1_stay_not_in_txtdict_dropped_like_reference(tmp_path):
     assert my_rows == ref_rows
     assert all(r[0] != dropped for r in my_rows), "not-in-dict stay must drop"
     assert any(r[0] == emptied for r in my_rows), "empty-token stay must stay"
+
+
+def test_no_token_files_keeps_stays_lenient(tmp_path):
+    """With NO token file under dir_root the reference cannot run at all
+    (txtDictLoad raises FileNotFoundError), so the strict drop semantics
+    are demoted to the txt1->txt0 rewrite: stays are kept with text
+    treated missing instead of the index silently emptying
+    (indexer.load_stay txt_strict)."""
+    train_dir = "/root/reference/data/sample_data/train"
+    train_list = sorted(glob.glob(f"{train_dir}/*.pkl"))
+    argv = BASE + ["--input-types", "vslt_img_txt", "--output-type",
+                   "intubation", "--modality-inclusion",
+                   "train-missing_test-missing"]
+    empty_root = tmp_path / "no_tokens_here"
+    empty_root.mkdir()
+    cfg = parse_config(argv).replace(dir_root=str(empty_root))
+    mine = _build_train_index(cfg, train_list)
+    names = {s.pkl_path.split("/")[-1] for s in mine.samples}
+    assert any("_txt1_" in n for n in names), "txt1 stays must survive"
+    assert all("txt1" not in s.file_name for s in mine.samples
+               if "_txt1_" in s.pkl_path), "kept stays must be txt0-rewritten"
