@@ -21,6 +21,12 @@ if os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
+# Persistent XLA compile cache: the flagship step compile measured ~190 s
+# through a loaded TPU tunnel and recurs on every fresh process without
+# this (set JAX_COMPILATION_CACHE_DIR="" to disable; must be set before
+# the first jax compilation).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/graft_jax_cache")
+
 import numpy as np
 
 from medical_tri_modal_pilot_tpu.config import parse_config
@@ -176,18 +182,24 @@ def main() -> None:
             multi_k = (4 if (seed_cfg.vslt_type in ("TIE", "QIE")
                              and jax.default_backend() == "tpu") else 1)
 
+        t_acc = {"wait": 0.0, "stack": 0.0, "step": 0.0}   # GRAFT_TIME_PHASES
+
         def run_steps(batches, epoch):
             """One dispatch for len(batches) optimizer steps; returns the
             per-step losses. Tail chunks (< multi_k) take single steps so
             train_multi compiles for exactly one K."""
             nonlocal iteration
+            t0 = time.time()
             if len(batches) > 1:
                 stacked = {key: np.stack([b[key] for b in batches])
                            for key in batches[0]}
+                t_acc["stack"] += time.time() - t0
+                t0 = time.time()
                 losses = [float(x) for x in
                           np.asarray(trainer.train_multi(stacked))]
             else:
                 losses = [float(trainer.train_step(batches[0]))]
+            t_acc["step"] += time.time() - t0
             for loss_f in losses:
                 iteration += 1
                 if seed_cfg.profile_dir and iteration == 10:
@@ -205,13 +217,20 @@ def main() -> None:
 
         from medical_tri_modal_pilot_tpu.data.pipeline import length_rebatch
         for epoch in range(start_epoch, seed_cfg.epochs + 1):
+            t_epoch0 = time.time()   # GRAFT_TIME_PHASES epoch breakdown
             # --length-rebatch: sort pooled samples by TIE length so the
             # --tie-buckets prefix batches compile/run at short lengths
             epoch_iter = length_rebatch(train_loader,
                                         seed_cfg.length_rebatch)
             if multi_k > 1:
                 pending = []
-                for batch in epoch_iter:
+                it = iter(epoch_iter)
+                while True:
+                    t0 = time.time()
+                    batch = next(it, None)
+                    t_acc["wait"] += time.time() - t0
+                    if batch is None:
+                        break
                     pending.append(batch)
                     if len(pending) == multi_k:
                         run_steps(pending, epoch)
@@ -236,16 +255,27 @@ def main() -> None:
                                         logger.best_score, epoch,
                                         logger.best_iter, iteration)
             # per-epoch validation (2_train.py:213-287)
+            t_phase = time.time()
             if len(val_loader) > 0:
                 val_loss = run_eval(trainer, val_loader, logger)
                 logger.add_validation_logs(iteration, val_loss)
+            t_val = time.time()
             async_ckpt.wait()   # don't race the epoch-level 'last' save
-            logger.save(trainer.state, iteration, epoch)
-            # order process 0's save before any later restore read
+            logger.save(trainer.state, iteration, epoch)   # async write
+            # keep processes in step once per epoch (the write itself is
+            # ordered before any restore by the wait_saves barrier below)
             barrier(f"epoch {epoch} save")
+            t_save = time.time()
             dt = time.time() - t_start
             print(f"epoch {epoch}/{seed_cfg.epochs} done "
                   f"({iteration} iters, {dt:.1f}s elapsed)")
+            if os.environ.get("GRAFT_TIME_PHASES"):
+                print(f"  [phases] train={t_phase - t_epoch0:.1f}s "
+                      f"val={t_val - t_phase:.1f}s "
+                      f"save={t_save - t_val:.1f}s "
+                      f"(wait={t_acc['wait']:.1f}s stack={t_acc['stack']:.1f}s "
+                      f"step={t_acc['step']:.1f}s)", flush=True)
+                t_acc.update(wait=0.0, stack=0.0, step=0.0)
 
         save_valid.add(logger.val_results)
 
@@ -253,11 +283,14 @@ def main() -> None:
         kind = "last" if seed_cfg.last and not seed_cfg.best else "best"
         path = ckpt_path(seed_cfg.dir_result, seed_cfg.project_name, kind,
                          k_indx, seed_cfg.seed)
-        # every process must load the same best state (or none): without a
-        # shared results dir, non-primary hosts would keep their last
-        # training params while process 0 loads 'best' — silently wrong
-        # final test metrics under SPMD. The epoch barrier above already
-        # ordered the save; this verifies the restore decision agrees.
+        # join the async epoch saves, then order process 0's writes before
+        # any restore read. Every process must load the same best state (or
+        # none): without a shared results dir, non-primary hosts would keep
+        # their last training params while process 0 loads 'best' — silently
+        # wrong final test metrics under SPMD; assert_agreement verifies the
+        # restore decision agrees.
+        logger.wait_saves()
+        barrier("final saves complete")
         payload = (load_checkpoint_any(seed_cfg.ckpt_backend, path)
                    if ckpt_exists(path) else None)
         assert_agreement(

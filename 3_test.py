@@ -18,6 +18,9 @@ if os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
+# persistent XLA compile cache (see 2_train.py; "" disables)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/graft_jax_cache")
+
 import numpy as np
 
 from medical_tri_modal_pilot_tpu.config import parse_config

@@ -85,24 +85,31 @@ def _emit() -> None:
     parseable even if the process is killed right after."""
     _RECORD["elapsed_s"] = round(time.time() - _T0, 1)
     print(json.dumps(_RECORD), flush=True)
+    _save_lkg()
 
 
 _LKG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_LKG.json")
+_GIT_HEAD: list = []
 
 
 def _save_lkg() -> None:
-    """Persist the last measurement that produced a real number so a later
-    outage record can carry it (with provenance) instead of nothing."""
+    """Persist the newest measurement that produced a real number so a later
+    outage record can carry it (with provenance) instead of nothing. Called
+    after every stage emit (cheap: one small JSON write), so even a killed
+    run leaves its best-so-far numbers on disk."""
     if _RECORD.get("value") is None:
         return
-    try:
-        import subprocess
-        head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                              capture_output=True, text=True,
-                              cwd=os.path.dirname(_LKG_PATH)).stdout.strip()
-    except Exception:
-        head = ""
+    if not _GIT_HEAD:
+        try:
+            import subprocess
+            _GIT_HEAD.append(subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(_LKG_PATH)).stdout.strip())
+        except Exception:
+            _GIT_HEAD.append("")
+    head = _GIT_HEAD[0]
     try:
         with open(_LKG_PATH, "w") as f:
             json.dump({"measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",

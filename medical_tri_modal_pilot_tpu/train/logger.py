@@ -14,7 +14,8 @@ import time
 from typing import Dict, Optional
 
 from ..config import Config
-from .checkpoints import ckpt_exists, ckpt_path, save_checkpoint_any
+from .checkpoints import (AsyncCheckpointer, ckpt_exists, ckpt_path,
+                          save_checkpoint_any)
 from .metrics import Evaluator
 
 
@@ -55,6 +56,7 @@ class Logger:
         # results dir); mark_restored() sets it on resume so a restored
         # best checkpoint is never clobbered by the first post-resume save
         self._saved_once = False
+        self._saver = AsyncCheckpointer()
         self.val_results = None
         self.test_results = None
         self._events = open(
@@ -98,16 +100,18 @@ class Logger:
 
     def save(self, state, step: int, epoch: int) -> bool:
         """Save 'last'; promote to 'best' when auc+apr improves
-        (logger.py:115-127,166-177). Returns True if best improved."""
+        (logger.py:115-127,166-177). Returns True if best improved.
+
+        Pickle-backend saves are fully asynchronous (one background D2H
+        fetch feeding both files): the ~270 MB last+best pair measured
+        ~35 s/epoch on the critical path when written synchronously with
+        two fetches. join via wait_saves() before reading the files back."""
         m = self.val_results or {"auc": 0.0, "apr": 0.0}
         score = (m["auc"] or 0.0) + (m["apr"] or 0.0)
         if score != score:          # nan val metrics (e.g. empty val split)
             score = 0.0
         last = ckpt_path(self.cfg.dir_result, self.cfg.project_name, "last",
                          self.fold, self.seed)
-        if self.primary:
-            save_checkpoint_any(self.cfg.ckpt_backend, last, state,
-                                score, epoch, self.best_iter, step)
         best = ckpt_path(self.cfg.dir_result, self.cfg.project_name,
                          "best", self.fold, self.seed)
         # always promote the first save so a best ckpt exists even when
@@ -117,15 +121,26 @@ class Logger:
         # hosts (every process runs this method on identical metrics).
         first = not self._saved_once
         self._saved_once = True
-        if score > self.best_score or first:
+        improved = score > self.best_score or first
+        jobs = [(last, self.best_iter, step)]
+        if improved:
             self.best_score = score
             self.best_auc = m["auc"] or 0.0
             self.best_iter = step
-            if self.primary:
-                save_checkpoint_any(self.cfg.ckpt_backend, best, state,
-                                    score, epoch, step, step)
-            return True
-        return False
+            jobs.append((best, step, step))
+        if self.primary:
+            if self.cfg.ckpt_backend == "orbax":
+                for path, bs, ls in jobs:   # orbax manages its own async
+                    save_checkpoint_any("orbax", path, state, score,
+                                        epoch, bs, ls)
+            else:
+                self._saver.save_multi(jobs, state, score, epoch)
+        return improved
+
+    def wait_saves(self) -> None:
+        """Join any in-flight async checkpoint write (call before reading
+        best/last back, and before process exit)."""
+        self._saver.wait()
 
     def mark_restored(self):
         """Resume restored a prior best checkpoint: suppress the
@@ -144,6 +159,7 @@ class Logger:
         return self.val_results
 
     def close(self):
+        self.wait_saves()
         self._events.close()
         if self._tb is not None:
             self._tb.close()

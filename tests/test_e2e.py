@@ -53,6 +53,7 @@ def test_unimodal_train_eval_ckpt(tmp_path):
 
     logger.val_results = m
     logger.save(trainer.state, step=3, epoch=1)
+    logger.wait_saves()   # saves are async; join before reading back
     best = ckpt_path(cfg.dir_result, cfg.project_name, "best", 0, 412)
     assert os.path.exists(best)
     payload = load_checkpoint(best)
