@@ -103,6 +103,12 @@ def main() -> None:
 
         train_loader, val_loader, test_loader = get_data_loaders(
             seed_cfg, patient_dict, keys_list, k_indx)
+        if seed_cfg.eval_batch_cache_mb > 0:
+            # validation runs every epoch over identical deterministic
+            # batches — replay them from RAM after the first pass
+            from medical_tri_modal_pilot_tpu.data.pipeline import ReplayLoader
+            val_loader = ReplayLoader(val_loader,
+                                      seed_cfg.eval_batch_cache_mb)
         iters_per_epoch = len(train_loader)
         print("# of Iterations (per epoch): ", iters_per_epoch)
         if iters_per_epoch == 0:

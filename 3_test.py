@@ -67,11 +67,22 @@ def main() -> None:
     agg = ResultsAggregator("test (all ckpts)")
     trainer = None   # built once (eval-only: no optimizer state, no
     #                  train-step compile) and reused across the ckpt walk
+    cached_loader = None   # per-checkpoint rebuilds assemble identical
+    #                        deterministic batches (same seed, cached
+    #                        index/window dicts) — replay them from RAM
     for k_indx, path in enumerate(ckpts):
         random.seed(cfg.seed)
         np.random.seed(cfg.seed)
         logger = Logger(cfg, fold=k_indx)
-        test_loader = get_test_data_loader(cfg)
+        if cached_loader is None:
+            test_loader = get_test_data_loader(cfg)
+            if cfg.eval_batch_cache_mb > 0:
+                from medical_tri_modal_pilot_tpu.data.pipeline import \
+                    ReplayLoader
+                test_loader = ReplayLoader(test_loader,
+                                           cfg.eval_batch_cache_mb)
+            cached_loader = test_loader
+        test_loader = cached_loader
         if len(test_loader) == 0:
             print("empty test loader")
             continue

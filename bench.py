@@ -666,6 +666,29 @@ def main() -> None:
             and "host_pipeline_samples_per_sec" in _RECORD):
         _RECORD.update(_bench_e2e_train())
         _emit()
+    if "e2e_samples_per_sec_warm" not in _RECORD:
+        # budget squeeze or loaded tunnel: carry the newest successful e2e
+        # measurement (BENCH_LKG.json) with explicit provenance so the
+        # driver artifact still has the wall-clock training numbers
+        try:
+            with open(_LKG_PATH) as f:
+                rec = json.load(f)
+            prev = rec.get("record", {})
+            if prev.get("e2e_samples_per_sec_warm") is not None:
+                why = ("hit: " + str(_RECORD.get("e2e_error"))
+                       if _RECORD.get("e2e_error")
+                       else "had no budget left for the e2e stage")
+                _RECORD.update({
+                    "e2e_samples_per_sec_cold":
+                        prev.get("e2e_samples_per_sec_cold"),
+                    "e2e_samples_per_sec_warm":
+                        prev["e2e_samples_per_sec_warm"],
+                    "e2e_provenance": (
+                        f"carried from the last successful run "
+                        f"({rec.get('measured_at')}, git "
+                        f"{rec.get('git_head')}); this run {why}")})
+        except Exception:
+            pass
     _emit()
 
 

@@ -317,6 +317,15 @@ def build_parser() -> argparse.ArgumentParser:
                              'the cold first epoch pays each jpeg decode '
                              'once EVER instead of once per worker per '
                              'run. Bit-identical outputs. "" disables.')
+    parser.add_argument('--eval-batch-cache-mb', type=int, default=2048,
+                        help='byte budget (MB) for replaying assembled '
+                             'eval batches across passes (per-epoch '
+                             'validation; 3_test per-checkpoint walk). '
+                             'Eval datasets are deterministic by contract '
+                             '(cached index/window dicts, '
+                             'dataset_new.py:833-894) so every pass '
+                             'assembles identical batches; replay skips '
+                             'the repeated host work. 0 disables.')
     return parser
 
 
@@ -452,6 +461,7 @@ class Config:
     length_rebatch: int
     image_cache_dir: str
     image_cache_mb: int
+    eval_batch_cache_mb: int
     # derived
     dir_root: str = "."
     log_fold: int = 0

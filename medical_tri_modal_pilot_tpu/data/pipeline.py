@@ -223,6 +223,60 @@ def get_test_data_loader(cfg: Config) -> BatchLoader:
                        worker_type=cfg.worker_type)
 
 
+class ReplayLoader:
+    """Cache assembled eval batches in RAM and replay them on later
+    iterations.
+
+    The eval datasets are deterministic by contract (cached index/window
+    dicts, dataset_new.py:833-894; deterministic eval transforms), so the
+    per-epoch validation loop and 3_test.py's per-checkpoint walk assemble
+    byte-identical batches every pass — all host pkl/jpeg/h5 work after
+    the first pass is waste (a warm validation pass measured ~26 s/epoch
+    on the 1000-stay fixtures vs ~1 s of device eval steps). Bounded by
+    ``budget_mb``: a set that exceeds the budget drops the cache and
+    streams from the inner loader every pass (the batch producer assembles
+    in order, so a partial cache could not skip any host work). Cached
+    arrays are marked read-only so an accidental downstream mutation
+    raises instead of corrupting later epochs."""
+
+    def __init__(self, loader, budget_mb: int = 2048):
+        self.loader = loader
+        self.budget = budget_mb * 2 ** 20
+        self._cache: list = []
+        self._bytes = 0
+        self._complete = False
+        self._overflow = False
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    @property
+    def dataset(self):
+        return self.loader.dataset
+
+    def __iter__(self):
+        if self._complete:
+            yield from self._cache
+            return
+        for batch in self.loader:
+            if not self._overflow:
+                size = sum(v.nbytes for v in batch.values()
+                           if hasattr(v, "nbytes"))
+                if self._bytes + size <= self.budget:
+                    for v in batch.values():
+                        if hasattr(v, "flags"):
+                            v.flags.writeable = False
+                    self._cache.append(batch)
+                    self._bytes += size
+                else:
+                    self._overflow = True
+                    self._cache = []
+                    self._bytes = 0
+            yield batch
+        if not self._overflow:
+            self._complete = True
+
+
 def length_rebatch(loader, pool_batches: int):
     """Regroup consecutive train batches by TIE length (--length-rebatch):
     pool P assembled batches, stable-sort their samples by input_length,

@@ -114,3 +114,44 @@ def test_train_multi_buckets_superbatch(setup):
     assert out["vslt"].shape == (2, 4, 256, 3)
     losses = np.asarray(tr.train_multi(stacked))
     assert losses.shape == (2,) and np.all(np.isfinite(losses))
+
+
+def test_replay_loader_caches_and_replays():
+    """ReplayLoader: pass 1 streams + caches; pass 2 replays identical
+    batches without touching the inner loader; a byte budget smaller than
+    the set caches only a prefix and re-streams the rest each pass."""
+    from medical_tri_modal_pilot_tpu.data.pipeline import ReplayLoader
+
+    class CountingLoader:
+        def __init__(self, batches):
+            self.batches = batches
+            self.built = 0
+
+        def __len__(self):
+            return len(self.batches)
+
+        def __iter__(self):
+            for b in self.batches:
+                self.built += 1
+                yield {k: v.copy() for k, v in b.items()}
+
+    batches = [{"x": np.full((4, 8), i, np.float32),
+                "target": np.arange(4) + i} for i in range(3)]
+    inner = CountingLoader(batches)
+    rl = ReplayLoader(inner, budget_mb=64)
+    first = list(rl)
+    assert inner.built == 3 and len(first) == 3
+    second = list(rl)
+    assert inner.built == 3, "replay must not re-assemble"
+    for a, b in zip(first, second):
+        assert a is b
+        assert not b["x"].flags.writeable   # mutation guard
+    assert np.array_equal(second[1]["x"], batches[1]["x"])
+
+    # budget that fits only ~1 batch: cache dropped, every pass streams
+    inner2 = CountingLoader(batches)
+    tiny = ReplayLoader(inner2, budget_mb=0)
+    tiny.budget = batches[0]["x"].nbytes + batches[0]["target"].nbytes
+    assert len(list(tiny)) == 3 and inner2.built == 3
+    assert len(list(tiny)) == 3 and inner2.built == 6
+    assert tiny._cache == [] and tiny._overflow
