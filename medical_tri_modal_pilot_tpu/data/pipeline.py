@@ -258,6 +258,12 @@ class ReplayLoader:
         if self._complete:
             yield from self._cache
             return
+        if self._cache:
+            # a previous pass stopped early (exception / consumer break):
+            # a partial cache can't skip host work and appending to it
+            # would duplicate the prefix — rebuild from scratch
+            self._cache = []
+            self._bytes = 0
         for batch in self.loader:
             if not self._overflow:
                 size = sum(v.nbytes for v in batch.values()

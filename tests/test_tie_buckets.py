@@ -155,3 +155,16 @@ def test_replay_loader_caches_and_replays():
     assert len(list(tiny)) == 3 and inner2.built == 3
     assert len(list(tiny)) == 3 and inner2.built == 6
     assert tiny._cache == [] and tiny._overflow
+
+    # interrupted first pass: the partial cache must be discarded, not
+    # appended to (a prefix duplicate would corrupt every later epoch)
+    inner3 = CountingLoader(batches)
+    rl3 = ReplayLoader(inner3, budget_mb=64)
+    it = iter(rl3)
+    next(it)            # consume 1 of 3, then abandon the pass
+    del it
+    full = list(rl3)    # second pass rebuilds from scratch
+    assert len(full) == 3 and not rl3._overflow and rl3._complete
+    replay = list(rl3)
+    assert len(replay) == 3 and inner3.built == 4
+    assert np.array_equal(replay[0]["x"], batches[0]["x"])
