@@ -200,13 +200,16 @@ def build_parser() -> argparse.ArgumentParser:
                              'otherwise); 2 forces them on any backend via '
                              'pallas interpret mode (slow — e2e kernel-'
                              'dispatch testing on CPU)')
-    parser.add_argument('--worker-type', type=str, default='thread',
-                        choices=['thread', 'process', 'native'],
-                        help='data-loader worker pool: GIL-releasing threads '
-                             '(default), forked processes (the reference '
-                             'DataLoader model, data_preprocess.py:89-95), '
-                             'or threads + the C++ TIE batch assembler '
-                             '(native/tie_assembler.cpp) for the TIE '
+    parser.add_argument('--worker-type', type=str, default='auto',
+                        choices=['auto', 'thread', 'process', 'native'],
+                        help='data-loader worker pool: "auto" (default) '
+                             'resolves to "native" when the C++ TIE batch '
+                             'assembler is built (native/libtie_assembler'
+                             '.so — measured ~45%% faster host epochs) and '
+                             'to "thread" otherwise; GIL-releasing threads; '
+                             'forked processes (the reference DataLoader '
+                             'model, data_preprocess.py:89-95); or threads '
+                             '+ the C++ assembler for the TIE '
                              'window-assembly hot path')
     parser.add_argument('--debug-nans', type=int, default=0, choices=[0, 1],
                         help='enable jax_debug_nans — the TPU-native analog '
@@ -295,7 +298,22 @@ def build_parser() -> argparse.ArgumentParser:
                              'sorted prefix batches (data/pipeline.py::'
                              'length_rebatch). Changes batch composition '
                              'only (same per-pool sample multiset); '
-                             '0/1 = off (reference batch order)')
+                             '0/1 = off (reference batch order). Opt-in for '
+                             'TRAINING on purpose: it reorders the '
+                             'class-balanced sampler stream, so SGD sees '
+                             'length-correlated batches — a bounded but '
+                             'real deviation from the reference regime. '
+                             'Eval has no such coupling; see '
+                             '--eval-length-rebatch')
+    parser.add_argument('--eval-length-rebatch', type=int, default=8,
+                        help='same length-sorted re-chunking for the '
+                             'validation/test loops, where sample order is '
+                             'irrelevant (metrics aggregate per-sample '
+                             'probs+targets carried in each batch, and '
+                             'equal-size batches make the mean-of-batch-'
+                             'losses order-invariant) — short batches hit '
+                             'the small --tie-buckets compilations. '
+                             'Default ON (8 pooled batches); 0/1 = off')
     parser.add_argument('--image-cache-mb', type=int, default=256,
                         help='byte budget (MB) for the host decoded-image '
                              'LRU: caches each CXR\'s deterministic '
@@ -459,6 +477,7 @@ class Config:
     train_multi_k: int
     tie_buckets: str
     length_rebatch: int
+    eval_length_rebatch: int
     image_cache_dir: str
     image_cache_mb: int
     eval_batch_cache_mb: int
@@ -535,6 +554,15 @@ _RENAMES = {
 }
 
 
+def native_lib_path() -> str:
+    """Location of the built C++ TIE assembler (native/build.sh output);
+    --worker-type auto resolves on its presence. Kept here (duplicating
+    data/native.py::_LIB_PATH's target) so config never imports the data
+    package."""
+    return os.path.join(os.path.dirname(__file__), "..", "native",
+                        "libtie_assembler.so")
+
+
 def config_from_namespace(ns: argparse.Namespace) -> Config:
     d = vars(ns).copy()
     for old, new in _RENAMES.items():
@@ -548,6 +576,9 @@ def config_from_namespace(ns: argparse.Namespace) -> Config:
             d[k] = (v,)
     if not d.get("dir_root"):
         d["dir_root"] = os.getcwd()
+    if d.get("worker_type") == "auto":
+        d["worker_type"] = ("native" if os.path.exists(native_lib_path())
+                            else "thread")
     field_names = {f.name for f in dataclasses.fields(Config)}
     d = {k: v for k, v in d.items() if k in field_names}
     cfg = Config(**d)

@@ -54,12 +54,28 @@ def mesh_fallback_count() -> int:
     return _MESH_FALLBACKS
 
 
+def _shard_map_compat():
+    """``jax.shard_map`` (jax >= 0.6, ``check_vma=``) with a fallback to the
+    pre-promotion ``jax.experimental.shard_map`` (``check_rep=``) so the
+    kernel dispatch layer survives on either side of the upstream rename.
+    Replication checking stays off either way: the kernel wrappers
+    intentionally pass replicated weights into per-shard bodies."""
+    import jax
+    if hasattr(jax, "shard_map"):
+        def shard_map(f, *, mesh, in_specs, out_specs, check_rep=False):
+            return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=check_rep)
+        return shard_map
+    from jax.experimental.shard_map import shard_map
+    return shard_map
+
+
 def _wrap_pallas_for_mesh(mesh):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+    shard_map = _shard_map_compat()
 
     from ..kernels.attention import pallas_masked_attention
     from ..kernels.attn_block import pallas_attn_block

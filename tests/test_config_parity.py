@@ -105,3 +105,24 @@ def test_multitoken_classification_train_step():
     probs, eval_loss, _ = trainer.eval_step(batch)
     assert probs.shape == (8,)
     assert np.isfinite(eval_loss)
+
+
+def test_worker_type_auto_resolution(monkeypatch, tmp_path):
+    """--worker-type auto resolves to 'native' when the built C++ assembler
+    is present and pins the 'thread' fallback when it is absent (the
+    TPU-first default must never leave a host without the .so broken)."""
+    import medical_tri_modal_pilot_tpu.config as C
+    # absent .so -> thread
+    monkeypatch.setattr(C, "native_lib_path",
+                        lambda: str(tmp_path / "nope.so"))
+    assert parse_config([]).worker_type == "thread"
+    # present .so -> native
+    lib = tmp_path / "libtie_assembler.so"
+    lib.write_bytes(b"")
+    monkeypatch.setattr(C, "native_lib_path", lambda: str(lib))
+    assert parse_config([]).worker_type == "native"
+    # explicit values are never overridden
+    assert parse_config(["--worker-type", "thread"]).worker_type == "thread"
+    monkeypatch.setattr(C, "native_lib_path",
+                        lambda: str(tmp_path / "nope.so"))
+    assert parse_config(["--worker-type", "native"]).worker_type == "native"
