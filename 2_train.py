@@ -50,14 +50,19 @@ def set_seeds(seed: int) -> None:
 def run_eval(trainer, loader, logger) -> float:
     logger.evaluator.reset()
     total_loss, n = 0.0, 0
-    host_iter = iter(loader)
+    from medical_tri_modal_pilot_tpu.data.pipeline import (device_prefetch,
+                                                           length_rebatch)
+    # eval sample order is irrelevant (per-sample probs+targets travel in
+    # the batch; equal-size batches keep the loss mean exact), so sort
+    # pooled batches by TIE length to hit the small --tie-buckets programs
+    host_iter = length_rebatch(loader,
+                               trainer.cfg.eval_length_rebatch)
     targets = []
 
     def put(b):
         targets.append(b["target"])
         return trainer._device_batch(b)
 
-    from medical_tri_modal_pilot_tpu.data.pipeline import device_prefetch
     for dbatch in device_prefetch(host_iter, put):
         probs, loss, rmse = trainer.eval_step(dbatch, on_device=True)
         logger.evaluator.add_batch(targets[n], probs, rmse=rmse)
@@ -103,12 +108,11 @@ def main() -> None:
 
         train_loader, val_loader, test_loader = get_data_loaders(
             seed_cfg, patient_dict, keys_list, k_indx)
-        if seed_cfg.eval_batch_cache_mb > 0:
-            # validation runs every epoch over identical deterministic
-            # batches — replay them from RAM after the first pass
-            from medical_tri_modal_pilot_tpu.data.pipeline import ReplayLoader
-            val_loader = ReplayLoader(val_loader,
-                                      seed_cfg.eval_batch_cache_mb)
+        # validation runs every epoch over identical deterministic batches —
+        # replay them from RAM after the first pass (no-op when
+        # --*-observed-prop dropout makes passes non-deterministic)
+        from medical_tri_modal_pilot_tpu.data.pipeline import maybe_replay
+        val_loader = maybe_replay(val_loader, seed_cfg)
         iters_per_epoch = len(train_loader)
         print("# of Iterations (per epoch): ", iters_per_epoch)
         if iters_per_epoch == 0:
@@ -273,8 +277,11 @@ def main() -> None:
             barrier(f"epoch {epoch} save")
             t_save = time.time()
             dt = time.time() - t_start
+            # flush: bench's e2e stage parses this line from a subprocess
+            # pipe, possibly after killing the run mid-epoch — a buffered
+            # line would vanish with the process
             print(f"epoch {epoch}/{seed_cfg.epochs} done "
-                  f"({iteration} iters, {dt:.1f}s elapsed)")
+                  f"({iteration} iters, {dt:.1f}s elapsed)", flush=True)
             if os.environ.get("GRAFT_TIME_PHASES"):
                 print(f"  [phases] train={t_phase - t_epoch0:.1f}s "
                       f"val={t_val - t_phase:.1f}s "

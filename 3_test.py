@@ -76,11 +76,11 @@ def main() -> None:
         logger = Logger(cfg, fold=k_indx)
         if cached_loader is None:
             test_loader = get_test_data_loader(cfg)
-            if cfg.eval_batch_cache_mb > 0:
-                from medical_tri_modal_pilot_tpu.data.pipeline import \
-                    ReplayLoader
-                test_loader = ReplayLoader(test_loader,
-                                           cfg.eval_batch_cache_mb)
+            from medical_tri_modal_pilot_tpu.data.pipeline import \
+                maybe_replay
+            # no-op when --*-observed-prop dropout makes passes
+            # non-deterministic (each checkpoint walk must redraw)
+            test_loader = maybe_replay(test_loader, cfg)
             cached_loader = test_loader
         test_loader = cached_loader
         if len(test_loader) == 0:
@@ -97,7 +97,11 @@ def main() -> None:
         trainer.state = restore_into_state(trainer.state, payload,
                                            with_optimizer=False)
         logger.evaluator.reset()
-        for batch in test_loader:
+        # eval order is irrelevant (targets travel in the batch) — sort
+        # pooled batches by TIE length to hit the small --tie-buckets
+        # programs (see --eval-length-rebatch)
+        from medical_tri_modal_pilot_tpu.data.pipeline import length_rebatch
+        for batch in length_rebatch(test_loader, cfg.eval_length_rebatch):
             probs, _loss, rmse = trainer.eval_step(batch)
             logger.evaluator.add_batch(batch["target"], probs, rmse=rmse)
         print(f"ckpt: {path}")

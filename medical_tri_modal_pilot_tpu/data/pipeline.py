@@ -246,6 +246,7 @@ class ReplayLoader:
         self._bytes = 0
         self._complete = False
         self._overflow = False
+        self._gen = 0
 
     def __len__(self) -> int:
         return len(self.loader)
@@ -258,29 +259,52 @@ class ReplayLoader:
         if self._complete:
             yield from self._cache
             return
-        if self._cache:
-            # a previous pass stopped early (exception / consumer break):
-            # a partial cache can't skip host work and appending to it
-            # would duplicate the prefix — rebuild from scratch
-            self._cache = []
-            self._bytes = 0
+        # accumulate into pass-local state and publish only at a complete
+        # pass whose generation is still current: an abandoned pass-1
+        # generator resumed after a newer pass rebuilt the cache (or two
+        # concurrently-live iterators) can then neither duplicate prefix
+        # batches nor interleave appends into the shared list
+        self._gen += 1
+        gen = self._gen
+        cache: list = []
+        nbytes = 0
+        overflow = self._overflow   # a past overflow pins streaming mode
         for batch in self.loader:
-            if not self._overflow:
+            if not overflow:
                 size = sum(v.nbytes for v in batch.values()
                            if hasattr(v, "nbytes"))
-                if self._bytes + size <= self.budget:
+                if nbytes + size <= self.budget:
                     for v in batch.values():
                         if hasattr(v, "flags"):
                             v.flags.writeable = False
-                    self._cache.append(batch)
-                    self._bytes += size
+                    cache.append(batch)
+                    nbytes += size
                 else:
-                    self._overflow = True
-                    self._cache = []
-                    self._bytes = 0
+                    overflow = True
+                    cache = []
+                    nbytes = 0
             yield batch
-        if not self._overflow:
-            self._complete = True
+        if gen != self._gen:   # a newer pass superseded this generator
+            return
+        if overflow:
+            self._overflow = True
+        else:
+            self._cache, self._bytes, self._complete = cache, nbytes, True
+
+
+def maybe_replay(loader, cfg):
+    """Wrap an eval loader in ReplayLoader unless replay is disabled or the
+    eval batches are not pass-deterministic: --image/text-observed-prop
+    < 100 draws per-item modality dropout from a stateful ``random.Random``
+    on EVERY assembly (data/dataset.py:389-392, matching the reference's
+    per-__getitem__ draw), so a streaming pass redraws while a replayed
+    pass would freeze pass-1's draws — and whether a run streams or
+    replays must never depend on the cache byte budget."""
+    if (cfg.eval_batch_cache_mb > 0
+            and cfg.image_observed_prop >= 100
+            and cfg.text_observed_prop >= 100):
+        return ReplayLoader(loader, cfg.eval_batch_cache_mb)
+    return loader
 
 
 def length_rebatch(loader, pool_batches: int):

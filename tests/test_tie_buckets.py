@@ -168,3 +168,54 @@ def test_replay_loader_caches_and_replays():
     replay = list(rl3)
     assert len(replay) == 3 and inner3.built == 4
     assert np.array_equal(replay[0]["x"], batches[0]["x"])
+
+
+def test_replay_loader_stale_generator_cannot_corrupt():
+    """A pass-1 generator abandoned mid-stream and RESUMED after a newer
+    pass completed must neither append duplicates to the published cache
+    nor flip its completeness (advisor finding r4: the reset-on-reentry
+    mutated shared state inside the generator)."""
+    from medical_tri_modal_pilot_tpu.data.pipeline import ReplayLoader
+
+    class CountingLoader:
+        def __init__(self, batches):
+            self.batches = batches
+            self.built = 0
+
+        def __len__(self):
+            return len(self.batches)
+
+        def __iter__(self):
+            for b in self.batches:
+                self.built += 1
+                yield {k: v.copy() for k, v in b.items()}
+
+    batches = [{"x": np.full((4, 8), i, np.float32)} for i in range(3)]
+    inner = CountingLoader(batches)
+    rl = ReplayLoader(inner, budget_mb=64)
+    stale = iter(rl)
+    next(stale)                      # pass 1 abandoned mid-stream
+    full = list(rl)                  # pass 2 completes and publishes
+    assert len(full) == 3 and rl._complete
+    leftovers = list(stale)          # stale generator resumed AFTER
+    assert len(leftovers) == 2       # publish: drains but must not touch
+    assert len(rl._cache) == 3       # the published cache
+    assert len(list(rl)) == 3 and inner.built == 6  # replay, no rebuild
+
+
+def test_maybe_replay_respects_observed_prop():
+    """Replay must auto-disable when --image/text-observed-prop < 100:
+    those draw per-item modality dropout from a stateful rng every pass
+    (data/dataset.py:389-392), so replaying pass-1 batches would freeze
+    the draws — and the behavior must not depend on the cache budget."""
+    from medical_tri_modal_pilot_tpu.config import parse_config
+    from medical_tri_modal_pilot_tpu.data.pipeline import (ReplayLoader,
+                                                           maybe_replay)
+    loader = object()
+    cfg = parse_config([])
+    assert isinstance(maybe_replay(loader, cfg), ReplayLoader)
+    for flag in ("--image-observed-prop", "--text-observed-prop"):
+        cfg_p = parse_config([flag, "50"])
+        assert maybe_replay(loader, cfg_p) is loader
+    cfg_off = parse_config(["--eval-batch-cache-mb", "0"])
+    assert maybe_replay(loader, cfg_off) is loader
