@@ -41,9 +41,21 @@ import numpy as np
 # every repeat into a cache hit (must be set before jax import)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/graft_jax_cache")
 
-# Secondary, clearly-labeled context number: literature-scale estimate of
-# the reference's PyTorch fp16 single-A100 throughput for this model shape.
+# Fallback-only context prior: literature-scale estimate of the reference's
+# PyTorch fp16 single-A100 throughput for this model shape. Used as the
+# vs_gpu_estimate denominator ONLY when the XLA-twin step-flop count is
+# unavailable; otherwise the denominator is DERIVED (see
+# gpu_denominator_derivation in main): A100 bf16 peak x a stated
+# eager-PyTorch MFU range / measured flops-per-sample.
 REFERENCE_GPU_ESTIMATE = 400.0
+A100_PEAK_TFLOPS = 312.0          # A100 80GB bf16/fp16 tensor-core peak
+# Eager PyTorch + torch.cuda.amp on this architecture: a d=256/4-head
+# multimodal transformer over seq-1000 TIE streams with unfused custom
+# attention (builder/models/transformer module), per-layer kernel-launch
+# overhead, LN/elementwise between every matmul — published MFU for
+# comparable mid-size eager models is 5-15%. The legacy 400/s flat prior
+# corresponds to 7.7% at the measured 60.6 GFLOP/sample, inside this range.
+TORCH_GPU_MFU = (0.05, 0.15)
 
 BATCH = 64
 WARMUP = 3
@@ -171,18 +183,8 @@ def _bench_host_pipeline(batch: int) -> dict:
     and for --worker-type native (threads + the C++ TIE assembler,
     data/native.py). Returns {} on any failure so the device benchmark
     always reports."""
-    import subprocess
     try:
-        root = os.path.dirname(os.path.abspath(__file__))
-        fix = "/tmp/graft_bench_synth_1k"
-        if not os.path.isdir(os.path.join(fix, "train")):
-            subprocess.run(
-                [sys.executable,
-                 os.path.join(root, "tools/make_synthetic_fixtures.py"),
-                 "--out", fix, "--n-train", "1000", "--n-test", "16",
-                 "--seed", "5"],
-                check=True, capture_output=True,
-                timeout=max(min(_remaining() - 60, 600), 30))
+        fix = _ensure_fixtures(_remaining() - 60)
         from medical_tri_modal_pilot_tpu.config import parse_config
         from medical_tri_modal_pilot_tpu.data.pipeline import get_data_loaders
 
@@ -221,7 +223,30 @@ def _bench_host_pipeline(batch: int) -> dict:
         res = {wt: run(wt) for wt in ("thread", "native")}
         chosen = "native" if res["native"]["warm"] >= res["thread"]["warm"] \
             else "thread"
+        # cold-gap probe: the cold-vs-warm delta is jpeg decode work (the
+        # only epoch-1-exclusive host cost once pkls are OS-page-cached).
+        # Measure the per-image decode+equalize rate so the artifact itself
+        # explains the gap: on this N-core host, cold ~= warm + n_decodes x
+        # decode_ms / N_workers_that_have_cores (1-core: fully serial and
+        # unhideable; --image-cache-dir amortizes it to once EVER)
+        decode = {}
+        try:
+            import glob as _glob
+            from medical_tri_modal_pilot_tpu.data.images import _decode_eq
+            paths = sorted(_glob.glob(os.path.join(
+                fix, "images", "**", "*.jpg"), recursive=True))[:64]
+            if paths:
+                t0 = time.perf_counter()
+                for p in paths:
+                    _decode_eq(p)
+                decode = {
+                    "image_decode_ms_per_image": round(
+                        (time.perf_counter() - t0) / len(paths) * 1000, 2),
+                    "image_decode_probe_n": len(paths)}
+        except Exception:
+            pass
         return {
+            **decode,
             "host_pipeline_samples_per_sec": res[chosen]["warm"],
             "host_pipeline_cold_samples_per_sec": res[chosen]["cold"],
             "host_pipeline_by_worker": res,
@@ -239,20 +264,44 @@ def _bench_host_pipeline(batch: int) -> dict:
         return {"host_pipeline_error": f"{type(e).__name__}: {e}"}
 
 
-def _bench_e2e_train() -> dict:
+def _ensure_fixtures(budget_s: float) -> str:
+    """Build the 1000-stay synthetic fixture set (reference schema) if it
+    is not already on disk; shared by the e2e/realistic/host stages."""
+    import subprocess
+    fix = "/tmp/graft_bench_synth_1k"
+    if not os.path.isdir(os.path.join(fix, "train")):
+        root = os.path.dirname(os.path.abspath(__file__))
+        subprocess.run(
+            [sys.executable,
+             os.path.join(root, "tools/make_synthetic_fixtures.py"),
+             "--out", fix, "--n-train", "1000", "--n-test", "16",
+             "--seed", "5"],
+            check=True, capture_output=True,
+            timeout=max(min(budget_s, 600), 30))
+    return fix
+
+
+def _bench_e2e_train(budget_s: float) -> dict:
     """End-to-end training throughput as ONE wall-clock number: 2_train.py
     epochs over the 1000-stay fixtures with the real loader feeding the
     real device step (native workers + device_prefetch overlap). Runs in a
     subprocess so its compile/backend state can't disturb the main
     measurement; parses the per-epoch '(N iters, T s elapsed)' lines.
     Reports the cold first epoch (every pkl/jpeg cache missing) and the
-    best warm epoch."""
+    best warm epoch.
+
+    The subprocess pins every shape-determining flag to the main
+    measurement's values (model dims, --img-pack-frac 0.5 = the bench
+    trainer's direct-construction capacity, --tie-buckets off) so its
+    train/eval step compiles HIT the shared XLA disk cache the main
+    process just populated — compile time was what starved this stage in
+    rounds 2-4. A TimeoutExpired still yields numbers: the exception
+    carries the partial stdout, and completed epoch lines are parsed from
+    it (2_train flushes them per epoch)."""
     import re
     import subprocess
     try:
-        fix = "/tmp/graft_bench_synth_1k"
-        if not os.path.isdir(os.path.join(fix, "train")):
-            return {"e2e_error": "fixtures missing (host stage skipped?)"}
+        fix = _ensure_fixtures(budget_s - 120)
         root = os.path.dirname(os.path.abspath(__file__))
         out_dir = "/tmp/graft_bench_e2e"
         import shutil
@@ -266,47 +315,160 @@ def _bench_e2e_train() -> dict:
                "--modality-inclusion", "train-missing_test-missing",
                "--model", "tri_mbt_vsltcls", "--batch-size", str(BATCH),
                "--TIE-len", "1000", "--num-workers", "4",
-               "--worker-type", "native", "--epochs", "3",
-               "--length-rebatch", "8",   # sorted pools hit the small
-               #                            --tie-buckets compilations
+               "--worker-type", "native", "--epochs", "2",
+               # shape-pinning for XLA disk-cache hits (see docstring):
+               "--transformer-num-layers", "6", "--transformer-dim", "256",
+               "--transformer-num-head", "4", "--img-model-type", "swin",
+               "--imgtxt-time", "1", "--precision", "bf16",
+               "--img-pack-frac", "0.5",
+               "--tie-buckets", "off", "--length-rebatch", "0",
+               "--eval-length-rebatch", "0",
                "--image-cache-dir", "/tmp/graft_img_cache",   # persistent
                #                      decode cache: cold epochs stay warm
                #                      across workers and bench invocations
                "--dir-root", fix,   # token files: {fix}/builder/data/text
                "--seed-list", "1004", "--dir-result", out_dir,
                "--project-name", "bench_e2e", "--log-iter", "1000000"]
-        to = max(min(_remaining() - 20, 900), 60)
+        to = max(min(_remaining() - 20, budget_s), 60)
         env = dict(os.environ)
-        # persistent XLA compile cache: the first-ever e2e run pays the
-        # step compile inside its cold epoch; later runs (and later bench
-        # invocations) hit the disk cache so cold measures the host side
+        # persistent XLA compile cache, shared with the main process
         env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/graft_jax_cache")
-        r = subprocess.run(cmd, capture_output=True, text=True, timeout=to,
-                           env=env)
+        env.setdefault("GRAFT_TIME_PHASES", "1")   # diagnostics on stdout
+        timeout_note = ""
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=to, env=env)
+            stdout, stderr, rc = r.stdout, r.stderr, r.returncode
+        except subprocess.TimeoutExpired as e:
+            # the partial pipe still holds every '(N iters, T s)' line the
+            # run flushed before the kill — a completed first epoch is a
+            # real cold number even when the run as a whole timed out
+            def _txt(b):
+                return (b.decode("utf-8", "replace")
+                        if isinstance(b, bytes) else (b or ""))
+            stdout, stderr, rc = _txt(e.stdout), _txt(e.stderr), "timeout"
+            timeout_note = f" (run killed at its {to:.0f}s budget)"
         times, iters = [], []
         for m in re.finditer(r"epoch (\d+)/\d+ done \((\d+) iters, "
-                             r"([0-9.]+)s elapsed\)", r.stdout):
+                             r"([0-9.]+)s elapsed\)", stdout):
             iters.append(int(m.group(2)))
             times.append(float(m.group(3)))
-        if len(times) < 2:
-            tail = (r.stdout + r.stderr).strip().splitlines()[-3:]
-            return {"e2e_error": f"rc={r.returncode}; tail={tail}"}
+        if not times:
+            tail = (stdout + stderr).strip().splitlines()[-3:]
+            return {"e2e_error": f"rc={rc}; tail={tail}"}
         samples = iters[0] * BATCH   # iteration counts are cumulative
         # 'elapsed' is cumulative from train start (includes val eval time)
         epoch_s = [times[0]] + [times[i] - times[i - 1]
                                 for i in range(1, len(times))]
-        warm = min(epoch_s[1:])
-        return {
+        out = {
             "e2e_samples_per_sec_cold": round(samples / epoch_s[0], 1),
-            "e2e_samples_per_sec_warm": round(samples / warm, 1),
             "e2e_note": ("wall-clock 2_train.py epochs on the 1000-stay "
                          "fixtures (real loader + jitted step + per-epoch "
                          "val), native workers, device_prefetch; cold = "
                          "first epoch incl. host cache misses and (on a "
                          "cold XLA disk cache) the step compile; epoch "
-                         "times include validation)")}
+                         "times include validation" + timeout_note + ")")}
+        if len(times) >= 2:
+            out["e2e_samples_per_sec_warm"] = round(
+                samples / min(epoch_s[1:]), 1)
+        return out
     except Exception as e:   # pragma: no cover
         return {"e2e_error": f"{type(e).__name__}: {e}"}
+
+
+def _bench_realistic_length(trainer) -> dict:
+    """Device training throughput over the REAL stream-length distribution
+    (the headline deliberately measures the worst case: every TIE stream
+    padded to the full 1000-row cap). Real ICU stays are far shorter —
+    the reference pads every one of them to the fixed cap and pays full
+    flops anyway (dataset_new.py:645-663 zero-fills a [TIE_len, 3]
+    tensor), while this trainer slices each pooled-and-sorted batch to its
+    --tie-buckets shape (trainer.py::_bucket_batch) and pays only the
+    bucket's flops. This stage drives the SAME jitted train step over the
+    1000-stay fixtures' actual host batches (length_rebatch-pooled, like
+    2_train with --length-rebatch 8) and reports samples/s plus the
+    bucket-hit histogram. Device-resident like the headline: batches are
+    bucketed + shipped once, then timed over repeated sweeps."""
+    try:
+        import jax
+        fix = _ensure_fixtures(_remaining() - 150)
+        from medical_tri_modal_pilot_tpu.config import parse_config
+        from medical_tri_modal_pilot_tpu.data.pipeline import (
+            get_data_loaders, length_rebatch)
+        cfg = parse_config([
+            "--train-data-path", os.path.join(fix, "train"),
+            "--test-data-path", os.path.join(fix, "test"),
+            "--image-data-path", os.path.join(fix, "images/"),
+            "--biobert-path", os.path.join(fix, "mimic4_embeddings.h5"),
+            "--input-types", "vslt_img_txt", "--output-type", "intubation",
+            "--modality-inclusion", "train-missing_test-missing",
+            "--model", "tri_mbt_vsltcls", "--batch-size", str(BATCH),
+            "--TIE-len", "1000", "--num-workers", "4",
+            "--worker-type", "native", "--dir-root", fix,
+        ])
+        train_loader, _, _ = get_data_loaders(cfg)
+        host = [b for b in length_rebatch(train_loader, 8)
+                if len(b["target"]) == BATCH]
+        if not host:
+            return {"realistic_error": "no full-size host batches"}
+        # bucket + ship every batch once (H2D excluded, as in the headline);
+        # group by compiled shape so each bucket compiles at most once and
+        # a budget squeeze can skip the biggest shapes, not the stage
+        hist: dict = {}
+        by_bucket: dict = {}
+        for b in host:
+            bb = trainer._bucket_batch(b)
+            L = int(bb["vslt"].shape[1])
+            hist[L] = hist.get(L, 0) + 1
+            by_bucket.setdefault(L, []).append(b)
+        dev, skipped = [], []
+        for L in sorted(by_bucket):
+            if _remaining() < 120 and dev:
+                skipped.append(L)   # keep what already compiled
+                continue
+            batches = [trainer._device_batch(b) for b in by_bucket[L]]
+            rng = jax.random.PRNGKey(1)
+            trainer.state, loss = trainer._train_step(
+                trainer.state, batches[0], rng)   # compile (or cache hit)
+            _ = float(loss)
+            dev.extend(batches)
+        if not dev:
+            return {"realistic_error": "budget exhausted before compile"}
+        rng = jax.random.PRNGKey(1)
+        n_chips = len(jax.devices())
+        best = float("inf")
+        reps = max(int(np.ceil(ITERS / len(dev))), 1)
+        for _ in range(WINDOWS):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                for db in dev:
+                    trainer.state, loss = trainer._train_step(
+                        trainer.state, db, rng)
+            _ = float(loss)   # materialization barrier (see headline note)
+            best = min(best, time.perf_counter() - t0)
+        sps = len(dev) * BATCH * reps / best / n_chips
+        lens = np.concatenate([np.asarray(b["input_length"]) for b in host])
+        out = {
+            "train_samples_per_sec_realistic": round(sps, 2),
+            "realistic_bucket_histogram": {
+                str(k): v for k, v in sorted(hist.items())},
+            "realistic_stream_len_percentiles": {
+                "p50": int(np.percentile(lens, 50)),
+                "p90": int(np.percentile(lens, 90)),
+                "max": int(lens.max())},
+            "realistic_note": (
+                f"same jitted step over the fixtures' real host batches "
+                f"({len(dev)} batches of {BATCH}, length_rebatch pool 8, "
+                f"--tie-buckets {getattr(trainer.cfg, 'tie_buckets', '?')}"
+                f" -> compiled shapes {sorted(by_bucket)}"
+                + (f", skipped (budget) {skipped}" if skipped else "")
+                + "); the reference zero-pads every stay to the fixed "
+                "TIE cap and pays full-length flops for this same data "
+                "(dataset_new.py:645-663), so vs_gpu_estimate_realistic "
+                "divides by the same full-length GPU denominator")}
+        return out
+    except Exception as e:   # pragma: no cover
+        return {"realistic_error": f"{type(e).__name__}: {e}"}
 
 
 def _verify_kernels() -> dict:
@@ -531,12 +693,36 @@ def main() -> None:
         "device_kind": jax.devices()[0].device_kind,
     })
 
+    # auditable GPU denominator: derive the eager-PyTorch-A100 bound from
+    # the measured XLA-twin step flops at the stated MFU range instead of
+    # trusting the flat 400/s prior (full derivation: BASELINE_MEASURED.md)
+    gpu_mid = REFERENCE_GPU_ESTIMATE
+    if model_flops:
+        fps = model_flops / BATCH
+        lo = A100_PEAK_TFLOPS * 1e12 * TORCH_GPU_MFU[0] / fps
+        hi = A100_PEAK_TFLOPS * 1e12 * TORCH_GPU_MFU[1] / fps
+        gpu_mid = (lo + hi) / 2
+        _RECORD["gpu_denominator_derivation"] = {
+            "a100_bf16_peak_tflops": A100_PEAK_TFLOPS,
+            "assumed_eager_torch_mfu": list(TORCH_GPU_MFU),
+            "flops_per_sample_gflops": round(fps / 1e9, 2),
+            "gpu_samples_per_sec_interval": [round(lo, 1), round(hi, 1)],
+            "gpu_samples_per_sec_midpoint": round(gpu_mid, 1),
+            "legacy_flat_prior_samples_per_sec": REFERENCE_GPU_ESTIMATE,
+            "note": ("vs_gpu_estimate* = measured samples/s divided by the "
+                     "interval midpoint; flops = XLA-equivalent train step "
+                     "(fwd+bwd+adamw) per sample at the full TIE-1000 pad, "
+                     "which the reference always pays "
+                     "(dataset_new.py:645-663 zero-fills the fixed cap)"),
+        }
+    _RECORD["gpu_denominator_samples_per_sec"] = round(gpu_mid, 1)
+
     def _update_headline(best_dt: float, windows: int) -> None:
         sps = BATCH * ITERS / best_dt / n_chips
         _RECORD.update({
             "value": round(sps, 2),
             "vs_baseline": round(sps / denom_sps, 3),
-            "vs_gpu_estimate": round(sps / REFERENCE_GPU_ESTIMATE, 3),
+            "vs_gpu_estimate": round(sps / gpu_mid, 3),
             "step_ms": round(best_dt / ITERS * 1000, 1),
             "bench_windows": windows,
             "mfu_vs_unloaded_calibration": (
@@ -577,6 +763,77 @@ def main() -> None:
         except Exception:
             loaded = False
 
+    # inference/serving throughput: the jitted eval step (fwd-only,
+    # deterministic). The custom-vjp primal path runs the lean kernels
+    # (no backward-only attn/stats HBM writes). Runs BEFORE the e2e stage
+    # on purpose: it populates the XLA disk cache with the batch-64
+    # full-length eval compile the subprocess's per-epoch validation needs.
+    if _remaining() > 60:
+        try:
+            probs, eloss, _ = trainer._eval_step(trainer.state, dbatch)
+            _ = float(eloss)
+            best_ev = float("inf")
+            for _ in range(WINDOWS):
+                t0 = time.perf_counter()
+                for _ in range(ITERS):
+                    probs, eloss, _ = trainer._eval_step(trainer.state, dbatch)
+                _ = float(eloss)
+                best_ev = min(best_ev, time.perf_counter() - t0)
+            eval_ms = best_ev / ITERS * 1000
+            _RECORD.update({
+                "eval_step_ms": round(eval_ms, 1),
+                "eval_samples_per_sec_per_chip":
+                    round(BATCH / (eval_ms / 1000) / n_chips, 2)})
+            _emit()
+        except Exception:
+            pass
+
+    # e2e wall-clock training (loader + device step together): the single
+    # most important evidence stage, so it runs FIRST after the device
+    # measurements with a reserved budget slice — rounds 2-4 ran it last on
+    # leftovers and starved it. Compile-dominated on a cold XLA disk cache;
+    # the shape-pinned flags make warm runs pure wall-clock.
+    # GRAFT_BENCH_E2E=0 disables.
+    if (_remaining() > 120
+            and os.environ.get("GRAFT_BENCH_E2E", "1") != "0"):
+        _RECORD.update(_bench_e2e_train(
+            max(min(_remaining() - 300, 480), 120)))
+        _emit()
+
+    # realistic-length device throughput (--tie-buckets payoff evidence):
+    # reuses this process's trainer; compiles at most the two short bucket
+    # shapes beyond the headline's full-length program
+    if _remaining() > 150:
+        _RECORD.update(_bench_realistic_length(trainer))
+        if _RECORD.get("train_samples_per_sec_realistic"):
+            _RECORD["vs_gpu_estimate_realistic"] = round(
+                _RECORD["train_samples_per_sec_realistic"] / gpu_mid, 3)
+        _emit()
+
+    if _remaining() > 90:
+        _RECORD.update(_verify_kernels())
+        _emit()
+    if _remaining() > 60:
+        _RECORD.update(_bench_host_pipeline(BATCH))
+        _emit()
+
+    try:
+        calibrated_tflops = _calibrate_matmul_tflops()
+        mfu = (model_flops / (best_dt / ITERS) / (calibrated_tflops * 1e12)
+               if model_flops else None)
+        _RECORD.update({
+            "calibrated_matmul_tflops": round(calibrated_tflops, 1),
+            "mfu_vs_calibrated": round(mfu, 3) if mfu is not None else None,
+            "mfu_note": ("flops = XLA-equivalent step (incl. padding "
+                         "compute the pallas kernels skip per-sample); "
+                         "calibration shares the tunnel's external load, "
+                         "so under load this ratio can exceed 1; "
+                         "mfu_vs_unloaded_calibration uses the 96.5 "
+                         "TFLOP/s unloaded chip calibration")})
+        _emit()
+    except Exception:
+        pass
+
     # --train-multi-k super-batches (K optimizer steps per dispatch via
     # lax.scan, the wired 2_train default for TIE on TPU) amortize the
     # tunnel/host dispatch latency — report the amortized rate too.
@@ -612,60 +869,6 @@ def main() -> None:
     except Exception:
         pass
 
-    # inference/serving throughput: the jitted eval step (fwd-only,
-    # deterministic). The custom-vjp primal path runs the lean kernels
-    # (no backward-only attn/stats HBM writes).
-    if _remaining() > 60:
-        try:
-            probs, eloss, _ = trainer._eval_step(trainer.state, dbatch)
-            _ = float(eloss)
-            best_ev = float("inf")
-            for _ in range(WINDOWS):
-                t0 = time.perf_counter()
-                for _ in range(ITERS):
-                    probs, eloss, _ = trainer._eval_step(trainer.state, dbatch)
-                _ = float(eloss)
-                best_ev = min(best_ev, time.perf_counter() - t0)
-            eval_ms = best_ev / ITERS * 1000
-            _RECORD.update({
-                "eval_step_ms": round(eval_ms, 1),
-                "eval_samples_per_sec_per_chip":
-                    round(BATCH / (eval_ms / 1000) / n_chips, 2)})
-            _emit()
-        except Exception:
-            pass
-
-    try:
-        calibrated_tflops = _calibrate_matmul_tflops()
-        mfu = (model_flops / (best_dt / ITERS) / (calibrated_tflops * 1e12)
-               if model_flops else None)
-        _RECORD.update({
-            "calibrated_matmul_tflops": round(calibrated_tflops, 1),
-            "mfu_vs_calibrated": round(mfu, 3) if mfu is not None else None,
-            "mfu_note": ("flops = XLA-equivalent step (incl. padding "
-                         "compute the pallas kernels skip per-sample); "
-                         "calibration shares the tunnel's external load, "
-                         "so under load this ratio can exceed 1; "
-                         "mfu_vs_unloaded_calibration uses the 96.5 "
-                         "TFLOP/s unloaded chip calibration")})
-        _emit()
-    except Exception:
-        pass
-
-    if _remaining() > 90:
-        _RECORD.update(_verify_kernels())
-        _emit()
-    if _remaining() > 120:
-        _RECORD.update(_bench_host_pipeline(BATCH))
-        _emit()
-    # e2e wall-clock training (loader + device step together): runs last;
-    # compile-dominated (a 1000-sample epoch is ~1-2 s at measured rates,
-    # the subprocess step compile is the bulk), so ~100 s of headroom is
-    # enough on a warm XLA disk cache; GRAFT_BENCH_E2E=0 disables.
-    if (_remaining() > 100 and os.environ.get("GRAFT_BENCH_E2E", "1") != "0"
-            and "host_pipeline_samples_per_sec" in _RECORD):
-        _RECORD.update(_bench_e2e_train())
-        _emit()
     if "e2e_samples_per_sec_warm" not in _RECORD:
         # budget squeeze or loaded tunnel: carry the newest successful e2e
         # measurement (BENCH_LKG.json) with explicit provenance so the
