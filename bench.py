@@ -881,15 +881,18 @@ def main() -> None:
                 why = ("hit: " + str(_RECORD.get("e2e_error"))
                        if _RECORD.get("e2e_error")
                        else "had no budget left for the e2e stage")
-                _RECORD.update({
-                    "e2e_samples_per_sec_cold":
-                        prev.get("e2e_samples_per_sec_cold"),
-                    "e2e_samples_per_sec_warm":
-                        prev["e2e_samples_per_sec_warm"],
-                    "e2e_provenance": (
-                        f"carried from the last successful run "
-                        f"({rec.get('measured_at')}, git "
-                        f"{rec.get('git_head')}); this run {why}")})
+                carried = {"e2e_samples_per_sec_warm":
+                           prev["e2e_samples_per_sec_warm"]}
+                # never clobber a cold number THIS run measured (e.g. the
+                # subprocess timed out after epoch 1)
+                if "e2e_samples_per_sec_cold" not in _RECORD:
+                    carried["e2e_samples_per_sec_cold"] = prev.get(
+                        "e2e_samples_per_sec_cold")
+                carried["e2e_provenance"] = (
+                    f"warm carried from the last successful run "
+                    f"({rec.get('measured_at')}, git "
+                    f"{rec.get('git_head')}); this run {why}")
+                _RECORD.update(carried)
         except Exception:
             pass
     _emit()
