@@ -22,10 +22,13 @@ if os.environ.get("JAX_PLATFORMS"):
         pass
 
 # Persistent XLA compile cache: the flagship step compile measured ~190 s
-# through a loaded TPU tunnel and recurs on every fresh process without
-# this (set JAX_COMPILATION_CACHE_DIR="" to disable; must be set before
-# the first jax compilation).
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/graft_jax_cache")
+# (up to ~1000 s under tunnel load) and recurs on every fresh process
+# without this. NOTE: this jax build ignores the JAX_COMPILATION_CACHE_DIR
+# env var — only the config API takes effect (utils/compile_cache.py);
+# GRAFT_COMPILE_CACHE=0 disables.
+from medical_tri_modal_pilot_tpu.utils.compile_cache import \
+    enable_compile_cache
+enable_compile_cache()
 
 import numpy as np
 

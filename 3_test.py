@@ -18,8 +18,11 @@ if os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
-# persistent XLA compile cache (see 2_train.py; "" disables)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/graft_jax_cache")
+# persistent XLA compile cache (see 2_train.py; GRAFT_COMPILE_CACHE=0
+# disables — the env-var route is ignored by this jax build)
+from medical_tri_modal_pilot_tpu.utils.compile_cache import \
+    enable_compile_cache
+enable_compile_cache()
 
 import numpy as np
 

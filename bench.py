@@ -35,11 +35,14 @@ import time
 
 import numpy as np
 
-# persistent XLA compile cache, shared with the e2e 2_train subprocess:
-# the flagship step compile measured ~190 s through a loaded tunnel, and
-# the subprocess re-compiles the same shapes — a shared disk cache turns
-# every repeat into a cache hit (must be set before jax import)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/graft_jax_cache")
+# Persistent XLA compile cache, shared with the e2e 2_train subprocess
+# and across bench invocations: the flagship step compile measured ~190 s
+# through a loaded tunnel (~1000 s at round-5 load; a trivial matmul jit
+# alone measured 147-276 s cold vs 0.4 s on a cache hit), and the
+# subprocess re-compiles the same shapes. NOTE: this jax build ignores
+# the JAX_COMPILATION_CACHE_DIR env var — activation happens through the
+# config API (utils/compile_cache.enable_compile_cache) inside main()
+# right after the backend wait.
 
 # Fallback-only context prior: literature-scale estimate of the reference's
 # PyTorch fp16 single-A100 throughput for this model shape. Used as the
@@ -547,6 +550,9 @@ def main() -> None:
         return
 
     import jax
+    from medical_tri_modal_pilot_tpu.utils.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache()   # env-var route is ignored by this jax build
     from medical_tri_modal_pilot_tpu import ops
     from medical_tri_modal_pilot_tpu.config import parse_config
     from medical_tri_modal_pilot_tpu.models import get_model

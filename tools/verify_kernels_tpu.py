@@ -29,6 +29,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from medical_tri_modal_pilot_tpu.utils.compile_cache import \
+    enable_compile_cache
+
+# 24 compiled kernel+oracle cases; through a loaded tunnel each cold
+# compile costs minutes — the persistent cache makes re-verification
+# (every bench run) near-free (env-var route ignored by this jax build)
+enable_compile_cache()
+
 TOL = 2e-5   # f32 accumulation differences over 1024-key softmax rows
 
 
