@@ -133,9 +133,20 @@ def main() -> None:
             print("auto img-pack capacity fraction: "
                   f"{seed_cfg.img_pack_frac:.3f}")
         model = get_model(seed_cfg)
+        # device-resident BioBERT table: unique note embeddings ship to
+        # HBM once; batches carry int32 row ids (data/txt_table.py) — the
+        # 25 MB/batch dense text payload leaves the per-step H2D path
+        from medical_tri_modal_pilot_tpu.data.txt_table import \
+            build_txt_table
+        txt_table = build_txt_table(
+            seed_cfg, (train_loader.dataset, val_loader.dataset,
+                       test_loader.dataset))
+        if txt_table is not None:
+            print(f"txt device table: {len(txt_table.lengths)} rows, "
+                  f"{txt_table.nbytes / 2**20:.0f} MB")
         sample_batch = next(iter(train_loader))
         trainer = Trainer(seed_cfg, model, iters_per_epoch, sample_batch,
-                          seed=seed_cfg.seed)
+                          seed=seed_cfg.seed, txt_table=txt_table)
 
         start_epoch = 1
         iteration = 0
@@ -197,23 +208,17 @@ def main() -> None:
 
         t_acc = {"wait": 0.0, "stack": 0.0, "step": 0.0}   # GRAFT_TIME_PHASES
 
-        def run_steps(batches, epoch):
-            """One dispatch for len(batches) optimizer steps; returns the
-            per-step losses. Tail chunks (< multi_k) take single steps so
-            train_multi compiles for exactly one K."""
+        pending_losses = []   # one-dispatch-deep pipeline (see run_steps)
+
+        def drain_losses(losses_dev, epoch):
+            """Materialize one dispatch's device losses and run the
+            per-iteration bookkeeping. The blocking float() lives HERE,
+            one dispatch behind the enqueue, so the next super-batch's
+            host->device transfer overlaps the current dispatch's compute
+            (both device_put and the jitted call are asynchronous)."""
             nonlocal iteration
             t0 = time.time()
-            if len(batches) > 1:
-                stacked = {key: np.stack([b[key] for b in batches])
-                           for key in batches[0]}
-                t_acc["stack"] += time.time() - t0
-                t0 = time.time()
-                losses = [float(x) for x in
-                          np.asarray(trainer.train_multi(stacked))]
-            else:
-                losses = [float(trainer.train_step(batches[0]))]
-            t_acc["step"] += time.time() - t0
-            for loss_f in losses:
+            for loss_f in [float(x) for x in np.asarray(losses_dev)]:
                 iteration += 1
                 if seed_cfg.profile_dir and iteration == 10:
                     import jax
@@ -227,6 +232,28 @@ def main() -> None:
                     async_ckpt.save(step_ckpt_path, trainer.state,
                                     logger.best_score, epoch,
                                     logger.best_iter, iteration)
+            t_acc["step"] += time.time() - t0
+
+        def run_steps(batches, epoch):
+            """Enqueue one dispatch for len(batches) optimizer steps. Tail
+            chunks (< multi_k) take single steps so train_multi compiles
+            for exactly one K. Losses drain one dispatch later."""
+            t0 = time.time()
+            if len(batches) > 1:
+                batches = trainer.wire_pack_many(batches)
+                stacked = {key: np.stack([b[key] for b in batches])
+                           for key in batches[0]}
+                t_acc["stack"] += time.time() - t0
+                losses_dev = trainer.train_multi(stacked)
+            else:
+                losses_dev = [trainer.train_step(batches[0])]
+            pending_losses.append((losses_dev, epoch))
+            while len(pending_losses) > 1:
+                drain_losses(*pending_losses.pop(0))
+
+        def flush_steps():
+            while pending_losses:
+                drain_losses(*pending_losses.pop(0))
 
         from medical_tri_modal_pilot_tpu.data.pipeline import length_rebatch
         for epoch in range(start_epoch, seed_cfg.epochs + 1):
@@ -267,6 +294,9 @@ def main() -> None:
                         async_ckpt.save(step_ckpt_path, trainer.state,
                                         logger.best_score, epoch,
                                         logger.best_iter, iteration)
+            # join the one-dispatch loss pipeline before validation uses
+            # the iteration counter (and before the epoch save records it)
+            flush_steps()
             # per-epoch validation (2_train.py:213-287)
             t_phase = time.time()
             if len(val_loader) > 0:

@@ -91,9 +91,12 @@ def main() -> None:
             continue
         if trainer is None:
             model = get_model(cfg)
+            from medical_tri_modal_pilot_tpu.data.txt_table import \
+                build_txt_table
+            txt_table = build_txt_table(cfg, (test_loader.dataset,))
             sample_batch = next(iter(test_loader))
             trainer = Trainer(cfg, model, 1, sample_batch, seed=cfg.seed,
-                              eval_only=True)
+                              eval_only=True, txt_table=txt_table)
         payload = load_checkpoint_any(cfg.ckpt_backend, path)
         # same-file check across hosts (loads are per-process)
         assert_agreement(f"ckpt {k_indx} step", int(payload.get("step", 0)))

@@ -335,6 +335,32 @@ def build_parser() -> argparse.ArgumentParser:
                              'the cold first epoch pays each jpeg decode '
                              'once EVER instead of once per worker per '
                              'run. Bit-identical outputs. "" disables.')
+    parser.add_argument('--txt-device-table-mb', type=int, default=512,
+                        help='HBM budget (MB) for the device-resident '
+                             'BioBERT embedding table: unique note '
+                             'embeddings ship to the device ONCE and each '
+                             'batch carries int32 row ids instead of the '
+                             'dense [128,768] fp32 payload (25 MB/batch '
+                             'at B=64); the jitted step gathers rows '
+                             'in-graph, bit-identically (data/'
+                             'txt_table.py). Corpora whose unique-note '
+                             'table exceeds the budget fall back to '
+                             'streaming automatically. 0 disables.')
+    parser.add_argument('--img-wire-u8', type=int, default=1,
+                        help='ship CXR pixels host->device as uint8 and '
+                             'divide by 255 in-graph (4x fewer bytes). '
+                             'Bit-exact: to_tensor pixels are k/255 fp32 '
+                             '(data/images.py:117), so the uint8 round '
+                             'trip reproduces identical fp32 values. '
+                             '0 streams fp32 as the reference does.')
+    parser.add_argument('--img-wire-pack', type=int, default=1,
+                        help='transfer only image-PRESENT rows (uint8, '
+                             'static capacity = the resolved '
+                             '--img-pack-frac) and scatter to the dense '
+                             'batch in-graph; overflow batches fall back '
+                             'to the dense wire. Active on single-device '
+                             'meshes with --img-wire-u8; bit-exact. '
+                             '0 disables.')
     parser.add_argument('--eval-batch-cache-mb', type=int, default=2048,
                         help='byte budget (MB) for replaying assembled '
                              'eval batches across passes (per-epoch '
@@ -481,6 +507,9 @@ class Config:
     image_cache_dir: str
     image_cache_mb: int
     eval_batch_cache_mb: int
+    txt_device_table_mb: int
+    img_wire_u8: int
+    img_wire_pack: int
     # derived
     dir_root: str = "."
     log_fold: int = 0

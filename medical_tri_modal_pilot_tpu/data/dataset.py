@@ -27,8 +27,8 @@ from ..constants import FEATURE_MINS, FEATURE_MAX_MINS
 from . import window as W
 from .images import load_cxr
 from .indexer import EvalIndex, TrainIndex, MULTIPLE_TASKS
-from .text import BioBertStore, fetch_text, load_txt_dict
-from .zeros import zero_array
+from .text import BioBertStore, fetch_text, fetch_text_id, load_txt_dict
+from .zeros import is_shared_zero, zero_array
 
 
 class _StayCache:
@@ -110,6 +110,15 @@ class _Base:
         self._vslt_keep = ~np.array(cfg.vslt_mask)
         self._native = None
         self._native_ready = False
+        # wire-format toggles (H2D byte reduction, bit-exact after the
+        # trainer's in-graph resolution — trainer._wire_resolve):
+        self._txt_table = None   # set via set_txt_table (data/txt_table.py)
+        self._img_u8 = bool(getattr(cfg, "img_wire_u8", 0))
+
+    def set_txt_table(self, table) -> None:
+        """Switch this dataset to emit ``txt_id`` int32 rows into ``table``
+        instead of dense (txt_token_size, 768) embeddings (txt_table.py)."""
+        self._txt_table = table
 
     @property
     def native(self):
@@ -313,31 +322,53 @@ class _Base:
 
         phase_missing = ("train-missing" if self.phase == "train"
                          else "test-missing")
-        txt, txt_length, txt_missing = fetch_text(
-            cfg, raw, file_name, self.txt_dict, self.bioemb, phase_missing,
-            force_missing=(missing_comb in (1, 3)),
-            txt_token_size=cfg.txt_token_size,
-            token_max_length=cfg.token_max_length,
-            observed=txt_observed)
+        if self._txt_table is not None:
+            # wire format: int32 row id into the device-resident embedding
+            # table instead of the dense (128, 768) fp32 payload — the
+            # trainer gathers the identical row in-graph (txt_table.py)
+            txt_id, txt_length, txt_missing = fetch_text_id(
+                cfg, raw, file_name, self._txt_table, phase_missing,
+                force_missing=(missing_comb in (1, 3)),
+                observed=txt_observed)
+        else:
+            txt, txt_length, txt_missing = fetch_text(
+                cfg, raw, file_name, self.txt_dict, self.bioemb, phase_missing,
+                force_missing=(missing_comb in (1, 3)),
+                txt_token_size=cfg.txt_token_size,
+                token_max_length=cfg.token_max_length,
+                observed=txt_observed)
 
         missing = np.array([0.0, float(img_missing), float(txt_missing)],
                            dtype=np.float32)
         txt_time = np.float32(-selected_key if cfg.realtime == 1 else 0.0)
 
-        return {
+        if self._img_u8 and isinstance(img, np.ndarray) \
+                and img.dtype == np.float32:
+            # wire format: pixels came out of to_tensor as k/255 fp32
+            # (images.py:117), so rint(img*255) recovers the exact uint8
+            # and the trainer's in-graph /255 reproduces identical fp32.
+            # Shared zero rows stay shared (pipeline._stack skips them).
+            img = (zero_array(img.shape, np.uint8) if is_shared_zero(img)
+                   else np.rint(img * 255.0).astype(np.uint8))
+
+        out = {
             "vslt": np.asarray(vslt, dtype=np.float32),
             "static": static,
             "target": (np.asarray(out_target, dtype=np.float32)),
             "input_length": np.int32(input_length),
             "img": img,
             "img_time": np.asarray(img_time, dtype=np.float32),
-            "txt": np.asarray(txt, dtype=np.float32),
             "txt_length": np.int32(txt_length),
             "txt_time": txt_time,
             "missing": missing,
             "f_indices": f_indices,
             "target_aux": np.asarray(target_aux, dtype=np.float32),
         }
+        if self._txt_table is not None:
+            out["txt_id"] = np.int32(txt_id)
+        else:
+            out["txt"] = np.asarray(txt, dtype=np.float32)
+        return out
 
 
 class TrainingDataset(_Base):

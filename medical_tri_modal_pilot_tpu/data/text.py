@@ -137,3 +137,31 @@ def fetch_text(cfg: Config, data_pkl: dict, file_name: str, txt_dict: dict,
         arr[arr == 1] = 0
         return arr, text_len, False
     return zero_array((token_max_length,)), 0, True
+
+
+def fetch_text_id(cfg: Config, data_pkl: dict, file_name: str, table,
+                  phase_missing_key: str, force_missing: bool,
+                  observed: bool = True) -> Tuple[int, int, bool]:
+    """Device-table twin of ``fetch_text``'s biobert branch: returns
+    ``(table_row_id, text_length, missing_flag)`` without reading the h5.
+
+    Row 0 of the table is all-zero, so a missing/ineligible sample maps to
+    the same zeros ``fetch_text`` would emit (``zero_array``). Every gate
+    mirrors fetch_text exactly (inclusion, txt1 in file name, forced
+    missing-combination, observed-prop dropout, empty note, embedding
+    present in the store — table membership implies the h5 lookup
+    succeeded at build time, data/txt_table.py). Only valid when the
+    table was built (biobert + bert tokenization + txt_token_size > 1)."""
+    inclusion_ok = (
+        ("txt" in cfg.input_types and "txt1" in cfg.fullmodal_definition
+         and phase_missing_key.replace("missing", "full") in cfg.modality_inclusion)
+        or (phase_missing_key in cfg.modality_inclusion and "txt" in cfg.input_types))
+    if inclusion_ok and "txt1" in file_name and not force_missing and observed:
+        text_data = data_pkl["txt_input"][0].strip()
+        if len(text_data) != 0:
+            row = table.rows_by_text.get(text_data)
+            if row is not None:
+                return row, int(table.lengths[row]), False
+    return 0, 0, True
+
+

@@ -229,7 +229,7 @@ class Trainer:
 
     def __init__(self, cfg: Config, model, iters_per_epoch: int,
                  sample_batch: Dict[str, np.ndarray], seed: int = 0,
-                 eval_only: bool = False):
+                 eval_only: bool = False, txt_table=None):
         from ..models.modules import set_remat
         set_remat(bool(getattr(cfg, "remat", 0)) and not eval_only)
         self.cfg = cfg
@@ -261,6 +261,46 @@ class Trainer:
         jax.config.update("jax_default_prng_impl", prng)
         self._rng = jax.random.PRNGKey(seed)
         self._buckets = self._resolve_buckets()
+
+        # device-resident BioBERT table (data/txt_table.py): unique note
+        # embeddings live replicated in HBM; batches carry int32 row ids
+        # and _wire_resolve gathers in-graph. bf16 rows under bf16
+        # activation precision are bit-equivalent (the model's first text
+        # op casts fp32 -> bf16 anyway; bf16 -> f32 -> bf16 round-trips).
+        # packed image wire (host->device): in missing-modality regimes
+        # most rows carry a zero image; transfer only the present rows
+        # (uint8) plus their row indices and scatter to the dense batch
+        # in-graph (_wire_resolve). Static capacity = the resolved
+        # --img-pack-frac, same as the packed swin trunk; a batch whose
+        # present count overflows falls back to the dense wire (its own
+        # compiled program, <0.1% of batches by the auto-frac sizing).
+        # Single-device meshes only: the pack axis (C rows) is not
+        # data-shardable, and multi-chip pods don't sit behind the
+        # tunnel's 40 MB/s H2D link this exists for.
+        self._wire_pack_c = None
+        if (getattr(cfg, "img_wire_pack", 1) and self.mesh.size == 1
+                and getattr(cfg, "img_wire_u8", 0)
+                and 0.0 < cfg.img_pack_frac < 1.0):
+            self._wire_pack_c = min(
+                cfg.batch_size,
+                int(math.ceil(cfg.batch_size * cfg.img_pack_frac)) + 1)
+
+        self._txt_table_dev = None
+        if txt_table is not None:
+            from ..parallel.mesh import put_global
+            from jax.sharding import PartitionSpec as P
+            rows = txt_table.rows
+            if cfg.precision == "bf16":
+                rows = rows.astype(jnp.bfloat16)
+            self._txt_table_dev = put_global(self.mesh, P(), rows)
+            # model init needs the dense contract; table rows reproduce
+            # exactly what the streaming path would have emitted
+            sample_batch = txt_table.densify(sample_batch)
+        elif sample_batch.get("img") is not None \
+                and np.asarray(sample_batch["img"]).dtype == np.uint8:
+            sample_batch = dict(sample_batch)
+            sample_batch["img"] = (
+                np.asarray(sample_batch["img"]).astype(np.float32) / 255.0)
 
         batch = self._device_batch(sample_batch)
         missing_num = compute_missing_num(cfg, batch["missing"])
@@ -334,8 +374,41 @@ class Trainer:
                        else v[:, :, :bucket])
         return out
 
+    def wire_pack(self, batch: Dict[str, np.ndarray]):
+        """Host-side packed image wire (see __init__): replace a dense
+        uint8 ``img`` whose present rows fit the static capacity with
+        ``img_pack`` [C, ...] + ``img_rows`` [C] (padding rows index B =
+        out-of-range, dropped by the in-graph scatter). No-op when
+        disabled, fp32, or overflowing (dense fallback)."""
+        C = self._wire_pack_c
+        img = batch.get("img")
+        if (C is None or img is None or not isinstance(img, np.ndarray)
+                or img.dtype != np.uint8 or "missing" not in batch):
+            return batch
+        rows = np.nonzero(np.asarray(batch["missing"])[:, 1] == 0.0)[0]
+        if len(rows) > C:
+            return batch
+        pack = np.zeros((C,) + img.shape[1:], np.uint8)
+        pack[:len(rows)] = img[rows]
+        ids = np.full((C,), img.shape[0], np.int32)
+        ids[:len(rows)] = rows
+        out = dict(batch)
+        out.pop("img")
+        out["img_pack"] = pack
+        out["img_rows"] = ids
+        return out
+
+    def wire_pack_many(self, batches):
+        """Pack a super-batch's members only when ALL of them fit — a
+        [K, ...] stack needs one leaf structure (2_train run_steps)."""
+        packed = [self.wire_pack(b) for b in batches]
+        if all("img_pack" in p for p in packed):
+            return packed
+        return batches
+
     def _device_batch(self, batch: Dict[str, np.ndarray]):
-        return shard_batch(self.mesh, self._bucket_batch(batch))
+        return shard_batch(self.mesh,
+                           self.wire_pack(self._bucket_batch(batch)))
 
     def _apply(self, params, batch_stats, batch, missing_num, deterministic,
                rng=None):
@@ -350,8 +423,34 @@ class Trainer:
         out = self.model.apply(variables, batch, missing_num, True)
         return out, batch_stats
 
-    def _train_step_impl(self, state: TrainState, batch, rng):
+    def _wire_resolve(self, batch, txt_table):
+        """In-graph resolution of the H2D wire format (traced): gather
+        dense txt rows from the device-resident table for ``txt_id``
+        batches (data/txt_table.py) and rescale uint8 CXR pixels to the
+        exact k/255 fp32 values ``to_tensor`` produced (images.py:117).
+        Bit-identical to streaming the dense fp32 payloads."""
+        if "txt_id" in batch:
+            batch = dict(batch)
+            txt = jnp.take(txt_table, batch.pop("txt_id"), axis=0)
+            batch["txt"] = txt.astype(jnp.float32)
+        if "img_pack" in batch:
+            batch = dict(batch)
+            pack = batch.pop("img_pack").astype(jnp.float32) / 255.0
+            rows = batch.pop("img_rows")
+            B = batch["missing"].shape[0]
+            batch["img"] = jnp.zeros((B,) + pack.shape[1:],
+                                     jnp.float32).at[rows].set(pack,
+                                                               mode="drop")
+        img = batch.get("img")
+        if img is not None and img.dtype == jnp.uint8:
+            batch = dict(batch)
+            batch["img"] = img.astype(jnp.float32) / 255.0
+        return batch
+
+    def _train_step_impl(self, state: TrainState, batch, rng,
+                         txt_table=None):
         cfg = self.cfg
+        batch = self._wire_resolve(batch, txt_table)
         missing_num = compute_missing_num(cfg, batch["missing"])
 
         def loss_fn(params):
@@ -380,7 +479,8 @@ class Trainer:
                                batch_stats=new_bs, opt_state=new_opt)
         return new_state, loss
 
-    def _train_multi_impl(self, state: TrainState, batches, rng):
+    def _train_multi_impl(self, state: TrainState, batches, rng,
+                          txt_table=None):
         """lax.scan over a [K, B, ...] super-batch: K optimizer steps in ONE
         XLA program. Amortizes per-step host dispatch (significant when the
         device sits behind an RPC tunnel) and lets XLA overlap the next
@@ -390,7 +490,8 @@ class Trainer:
 
         def body(carry, xs):
             batch, step_rng = xs
-            new_state, loss = self._train_step_impl(carry, batch, step_rng)
+            new_state, loss = self._train_step_impl(carry, batch, step_rng,
+                                                    txt_table)
             return new_state, loss
 
         new_state, losses = jax.lax.scan(body, state, (batches, rngs))
@@ -410,11 +511,13 @@ class Trainer:
         if not hasattr(self, "_train_multi"):
             self._train_multi = jax.jit(self._train_multi_impl,
                                         donate_argnums=(0,))
-        self.state, losses = self._train_multi(self.state, batches, rng)
+        self.state, losses = self._train_multi(self.state, batches, rng,
+                                               self._txt_table_dev)
         return losses
 
-    def _eval_step_impl(self, state: TrainState, batch):
+    def _eval_step_impl(self, state: TrainState, batch, txt_table=None):
         cfg = self.cfg
+        batch = self._wire_resolve(batch, txt_table)
         missing_num = compute_missing_num(cfg, batch["missing"])
         (logits, rmse, _aux), _ = self._apply(
             state.params, state.batch_stats, batch, missing_num, True)
@@ -450,7 +553,8 @@ class Trainer:
                    on_device: bool = False) -> float:
         rng, self._rng = jax.random.split(self._rng)
         dbatch = batch if on_device else self._device_batch(batch)
-        self.state, loss = self._train_step(self.state, dbatch, rng)
+        self.state, loss = self._train_step(self.state, dbatch, rng,
+                                            self._txt_table_dev)
         return loss
 
     def eval_step(self, batch: Dict[str, np.ndarray],
@@ -458,7 +562,8 @@ class Trainer:
         """Returns ``(probs, loss, rmse)``; rmse is None unless the run has
         an aux-rmse head (``--auxiliary-loss-type rmse``, detection)."""
         dbatch = batch if on_device else self._device_batch(batch)
-        probs, loss, rmse = self._eval_step(self.state, dbatch)
+        probs, loss, rmse = self._eval_step(self.state, dbatch,
+                                            self._txt_table_dev)
         # multi-host: probs stay data-sharded across processes; gather so
         # every host's Evaluator sees the full per-sample vector
         from ..parallel.distributed import gather_global
