@@ -173,6 +173,36 @@ def test_table_capacity_fallback_streams_dense(synth, tmp_path):
     assert "txt" in b and "txt_id" not in b
 
 
+def test_wire_on_data_parallel_mesh(synth, tmp_path):
+    """txt_id gather + uint8 img under SPMD: ids shard on 'data', the
+    table stays replicated (put_global P()), XLA partitions the gather.
+    The packed-img wire must gate itself OFF on a multi-device mesh."""
+    import jax
+    n = len(jax.devices())
+    if n < 2:
+        pytest.skip("needs the 8-device CPU conftest mesh")
+    cfg = _cfg(synth, tmp_path, ["--batch-size", str(2 * n),
+                                 "--img-pack-frac", "0.5"])
+    cfg = cfg.replace(dp_size=n)
+    tr, va, te = _loaders(cfg)
+    table = build_txt_table(cfg, (tr.dataset, va.dataset, te.dataset))
+    assert table is not None
+    model = get_model(cfg)
+    batches = [b for b in tr if len(b["target"]) == cfg.batch_size]
+    if not batches:
+        pytest.skip("fixtures too small for this batch size")
+    t = Trainer(cfg, model, len(batches), batches[0], seed=412,
+                txt_table=table)
+    assert t.mesh.size == n
+    assert t._wire_pack_c is None, "pack wire must stay off on a mesh"
+    assert "txt_id" in batches[0] and batches[0]["img"].dtype == np.uint8
+    loss = float(t.train_step(batches[0]))
+    assert np.isfinite(loss)
+    probs, el, _ = t.eval_step(batches[0])
+    assert np.asarray(probs).shape == (cfg.batch_size,)
+    assert np.isfinite(float(el))
+
+
 def test_table_budget_zero_disables(synth, tmp_path):
     cfg = _cfg(synth, tmp_path, ["--txt-device-table-mb", "0"])
     tr, va, te = _loaders(cfg)
