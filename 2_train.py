@@ -138,12 +138,14 @@ def main() -> None:
         # 25 MB/batch dense text payload leaves the per-step H2D path
         from medical_tri_modal_pilot_tpu.data.txt_table import \
             build_txt_table
+        t_tab = time.time()
         txt_table = build_txt_table(
             seed_cfg, (train_loader.dataset, val_loader.dataset,
                        test_loader.dataset))
         if txt_table is not None:
             print(f"txt device table: {len(txt_table.lengths)} rows, "
-                  f"{txt_table.nbytes / 2**20:.0f} MB")
+                  f"{txt_table.nbytes / 2**20:.0f} MB "
+                  f"({time.time() - t_tab:.1f}s build)", flush=True)
         sample_batch = next(iter(train_loader))
         trainer = Trainer(seed_cfg, model, iters_per_epoch, sample_batch,
                           seed=seed_cfg.seed, txt_table=txt_table)

@@ -408,8 +408,17 @@ def _bench_realistic_length(trainer) -> dict:
             "--model", "tri_mbt_vsltcls", "--batch-size", str(BATCH),
             "--TIE-len", "1000", "--num-workers", "4",
             "--worker-type", "native", "--dir-root", fix,
+            "--img-pack-frac", "0.5",   # match the headline wire capacity
         ])
-        train_loader, _, _ = get_data_loaders(cfg)
+        train_loader, _val_l, _test_l = get_data_loaders(cfg)
+        # attach the fixtures' txt table so host batches carry txt_id and
+        # the headline wire program is reused as-is (the ids index the
+        # TRAINER's synthetic device table — wrong text values, right
+        # shapes; this stage measures throughput, not accuracy)
+        from medical_tri_modal_pilot_tpu.data.txt_table import \
+            build_txt_table
+        build_txt_table(cfg, (train_loader.dataset, _val_l.dataset,
+                              _test_l.dataset))
         host = [b for b in length_rebatch(train_loader, 8)
                 if len(b["target"]) == BATCH]
         if not host:
@@ -432,7 +441,8 @@ def _bench_realistic_length(trainer) -> dict:
             batches = [trainer._device_batch(b) for b in by_bucket[L]]
             rng = jax.random.PRNGKey(1)
             trainer.state, loss = trainer._train_step(
-                trainer.state, batches[0], rng)   # compile (or cache hit)
+                trainer.state, batches[0], rng,
+                trainer._txt_table_dev)   # compile (or cache hit)
             _ = float(loss)
             dev.extend(batches)
         if not dev:
@@ -446,7 +456,7 @@ def _bench_realistic_length(trainer) -> dict:
             for _ in range(reps):
                 for db in dev:
                     trainer.state, loss = trainer._train_step(
-                        trainer.state, db, rng)
+                        trainer.state, db, rng, trainer._txt_table_dev)
             _ = float(loss)   # materialization barrier (see headline note)
             best = min(best, time.perf_counter() - t0)
         sps = len(dev) * BATCH * reps / best / n_chips
@@ -472,6 +482,76 @@ def _bench_realistic_length(trainer) -> dict:
         return out
     except Exception as e:   # pragma: no cover
         return {"realistic_error": f"{type(e).__name__}: {e}"}
+
+
+def _bench_e2e_inprocess(trainer) -> dict:
+    """Wall-clock loader+device training epochs INSIDE this process,
+    reusing the programs the headline/realistic stages already compiled.
+
+    The subprocess e2e stage (2_train.py, the gold evidence) re-pays its
+    compiles every run because the tunnel backend's compile cache is
+    SERVER-side and ephemeral (measured: identical pallas programs re-took
+    255 s in a fresh process minutes later, with the jax disk cache
+    populated and hitting) — under tunnel load that alone can exceed the
+    stage budget. This stage is the guaranteed fallback: the same real
+    host pipeline (fixtures, native workers, txt table, packed uint8
+    wire, device_prefetch) driving the same jitted wire-format train
+    step, with zero new compiles when run after the realistic stage
+    (identical batch trees, bucket shapes included). Epoch 1 = cold host
+    caches; best of the rest = warm."""
+    try:
+        import jax
+        fix = _ensure_fixtures(_remaining() - 120)
+        from medical_tri_modal_pilot_tpu.config import parse_config
+        from medical_tri_modal_pilot_tpu.data.pipeline import get_data_loaders
+        from medical_tri_modal_pilot_tpu.data.txt_table import build_txt_table
+        cfg = parse_config([
+            "--train-data-path", os.path.join(fix, "train"),
+            "--test-data-path", os.path.join(fix, "test"),
+            "--image-data-path", os.path.join(fix, "images/"),
+            "--biobert-path", os.path.join(fix, "mimic4_embeddings.h5"),
+            "--input-types", "vslt_img_txt", "--output-type", "intubation",
+            "--modality-inclusion", "train-missing_test-missing",
+            "--model", "tri_mbt_vsltcls", "--batch-size", str(BATCH),
+            "--TIE-len", "1000", "--num-workers", "4",
+            "--worker-type", "native", "--dir-root", fix,
+            "--img-pack-frac", "0.5",
+        ])
+        train_loader, _val_l, _test_l = get_data_loaders(cfg)
+        build_txt_table(cfg, (train_loader.dataset, _val_l.dataset,
+                              _test_l.dataset))
+        rng = jax.random.PRNGKey(2)
+        rates = []
+        for _ep in range(3):
+            if _ep and _remaining() < 60:
+                break
+            t0 = time.perf_counter()
+            n = 0
+            loss = None
+            for db in trainer.prefetch(iter(train_loader)):
+                trainer.state, loss = trainer._train_step(
+                    trainer.state, db, rng, trainer._txt_table_dev)
+                n += BATCH
+            if loss is None:
+                return {"e2e_inprocess_error": "empty train loader"}
+            _ = float(loss)   # materialization barrier
+            rates.append(n / (time.perf_counter() - t0))
+        out = {
+            "e2e_inprocess_samples_per_sec_cold": round(rates[0], 1),
+            "e2e_inprocess_note": (
+                "real host pipeline (1000-stay fixtures, native workers, "
+                "txt device table + packed uint8 wire, device_prefetch "
+                "overlap) driving the headline's jitted wire-format step "
+                "in-process, train loop only (no val/ckpt); cold = first "
+                "epoch, every host cache missing. The 2_train subprocess "
+                "stage remains the whole-CLI evidence when the tunnel's "
+                "compile queue lets it finish.")}
+        if len(rates) > 1:
+            out["e2e_inprocess_samples_per_sec_warm"] = round(
+                max(rates[1:]), 1)
+        return out
+    except Exception as e:   # pragma: no cover
+        return {"e2e_inprocess_error": f"{type(e).__name__}: {e}"}
 
 
 def _verify_kernels() -> dict:
@@ -546,7 +626,10 @@ def main() -> None:
     _emit()
     # backend wait gets at most a quarter of the budget; the rest is
     # reserved for compile + timing windows + the gated extra stages
-    if not _wait_for_backend(max(min(_remaining() * 0.35, 320.0), 30.0)):
+    # the 0.35 fraction keeps the driver's default 1080 s budget mostly
+    # for measurement; a deliberately enlarged budget (manual warm runs)
+    # buys a proportionally longer outage wait, capped at 15 min
+    if not _wait_for_backend(max(min(_remaining() * 0.35, 900.0), 30.0)):
         return
 
     import jax
@@ -572,6 +655,10 @@ def main() -> None:
         "--img-model-type", "swin",
         "--imgtxt-time", "1",
         "--precision", "bf16",
+        # pin the packed-swin capacity the models' direct-construction
+        # fallback uses AND enable the packed uint8 image wire at the same
+        # static capacity (trainer.wire_pack) — 2_train pins the same
+        "--img-pack-frac", "0.5",
     ]
     cfg = parse_config(argv)
     ops.configure(bool(cfg.use_pallas) and jax.default_backend() == "tpu")
@@ -592,14 +679,35 @@ def main() -> None:
                     img_present[:, None, None, None]).astype(np.float32)
     batch["img_time"] = np.where(img_present, batch["img_time"],
                                  -1.0).astype(np.float32)
-    trainer = Trainer(cfg, model, iters_per_epoch=100, sample_batch=batch)
+    # Headline = the H2D wire-format program, i.e. what 2_train actually
+    # runs on TPU: txt rides a device-resident table (int32 row ids,
+    # gathered in-graph), pixels ship as packed uint8 and scatter+rescale
+    # in-graph (trainer._wire_resolve). The table replicates the dense
+    # batch's rows exactly, so the step computes the same numbers the
+    # round-4 dense headline did (modulo u8 pixel quantization of the
+    # synthetic pixels — shapes and math are identical).
+    from medical_tri_modal_pilot_tpu.data.txt_table import TxtTable
+    _txt_rows = np.concatenate(
+        [np.zeros((1,) + batch["txt"].shape[1:], np.float32),
+         batch["txt"].astype(np.float32)])
+    _txt_tab = TxtTable(
+        rows=_txt_rows,
+        lengths=np.concatenate(
+            [[0], np.asarray(batch["txt_length"])]).astype(np.int32))
+    batch.pop("txt")
+    batch["txt_id"] = np.arange(1, BATCH + 1, dtype=np.int32)
+    batch["img"] = np.rint(np.clip(batch["img"], 0.0, 1.0)
+                           * 255.0).astype(np.uint8)
+    trainer = Trainer(cfg, model, iters_per_epoch=100, sample_batch=batch,
+                      txt_table=_txt_tab)
     # measure device throughput: ship the batch once (the host input
     # pipeline is asynchronous in training and benchmarked separately)
     dbatch = trainer._device_batch(batch)
 
     rng = jax.random.PRNGKey(0)
     for _ in range(WARMUP):
-        trainer.state, loss = trainer._train_step(trainer.state, dbatch, rng)
+        trainer.state, loss = trainer._train_step(trainer.state, dbatch, rng,
+                                                  trainer._txt_table_dev)
     _ = float(loss)   # true barrier: jax.block_until_ready returns early on
     #                   the tunneled TPU backend; only value materialization
     #                   actually waits for execution
@@ -637,7 +745,8 @@ def main() -> None:
             # trainer._train_step_impl already has a (pallas) trace cached
             # from the warmup steps
             xla_step = jax.jit(
-                lambda s, b, r: trainer._train_step_impl(s, b, r))
+                lambda s, b, r: trainer._train_step_impl(
+                    s, b, r, trainer._txt_table_dev))
             mcost = xla_step.lower(
                 trainer.state, dbatch, rng).compile().cost_analysis()
             model_flops = float(mcost.get("flops", 0.0)) or step_flops
@@ -751,8 +860,8 @@ def main() -> None:
                and time.perf_counter() < t_budget)):
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            trainer.state, loss = trainer._train_step(trainer.state, dbatch,
-                                                      rng)
+            trainer.state, loss = trainer._train_step(
+                trainer.state, dbatch, rng, trainer._txt_table_dev)
         # the final loss depends on the whole donated-state chain, so
         # materializing it forces every step in the window
         _ = float(loss)
@@ -776,13 +885,15 @@ def main() -> None:
     # full-length eval compile the subprocess's per-epoch validation needs.
     if _remaining() > 60:
         try:
-            probs, eloss, _ = trainer._eval_step(trainer.state, dbatch)
+            probs, eloss, _ = trainer._eval_step(trainer.state, dbatch,
+                                                 trainer._txt_table_dev)
             _ = float(eloss)
             best_ev = float("inf")
             for _ in range(WINDOWS):
                 t0 = time.perf_counter()
                 for _ in range(ITERS):
-                    probs, eloss, _ = trainer._eval_step(trainer.state, dbatch)
+                    probs, eloss, _ = trainer._eval_step(
+                        trainer.state, dbatch, trainer._txt_table_dev)
                 _ = float(eloss)
                 best_ev = min(best_ev, time.perf_counter() - t0)
             eval_ms = best_ev / ITERS * 1000
@@ -803,7 +914,7 @@ def main() -> None:
     if (_remaining() > 120
             and os.environ.get("GRAFT_BENCH_E2E", "1") != "0"):
         _RECORD.update(_bench_e2e_train(
-            max(min(_remaining() - 300, 480), 120)))
+            max(min(_remaining() - 300, 900), 120)))
         _emit()
 
     # realistic-length device throughput (--tie-buckets payoff evidence):
@@ -816,12 +927,58 @@ def main() -> None:
                 _RECORD["train_samples_per_sec_realistic"] / gpu_mid, 3)
         _emit()
 
+    # in-process e2e (guaranteed loader+device wall-clock; zero new
+    # compiles after the realistic stage — see docstring)
+    if _remaining() > 60:
+        _RECORD.update(_bench_e2e_inprocess(trainer))
+        _emit()
+
     if _remaining() > 90:
         _RECORD.update(_verify_kernels())
         _emit()
     if _remaining() > 60:
         _RECORD.update(_bench_host_pipeline(BATCH))
         _emit()
+
+    # H2D wire probe: e2e through the tunneled backend is bounded by the
+    # host->device link, not by host assembly or device compute. Measure
+    # the link rate and the actual post-wire-format bytes per batch so the
+    # artifact itself explains (and bounds) the e2e number: the reference
+    # ships ~40 MB/batch; the wire format (txt device table + uint8 packed
+    # images, trainer._wire_resolve) cuts it to ~2.5 MB.
+    if _remaining() > 45:
+        try:
+            # the actual wire batch 2_train ships per step at this shape
+            # (txt_id + packed uint8 pixels, trainer.wire_pack)
+            wire = trainer.wire_pack(dict(batch))
+            wire_mb = sum(np.asarray(v).nbytes
+                          for v in wire.values()) / 2 ** 20
+            probe = np.random.default_rng(0).integers(
+                0, 255, (4 << 20,), np.uint8)
+            _h = jax.jit(lambda a: a[0])
+            _ = int(_h(jax.device_put(probe)))   # compile + first ship
+            best = float("inf")
+            for _i in range(3):
+                t0 = time.perf_counter()
+                _ = int(_h(jax.device_put(probe)))
+                best = min(best, time.perf_counter() - t0)
+            bw = probe.nbytes / 2 ** 20 / best
+            _RECORD.update({
+                "h2d_mb_per_sec": round(bw, 1),
+                "wire_bytes_per_batch_mb": round(wire_mb, 2),
+                "e2e_h2d_bound_samples_per_sec": round(
+                    BATCH / (wire_mb / bw), 1),
+                "h2d_note": (
+                    "tunneled backend: the host->device link (measured "
+                    "h2d_mb_per_sec) bounds e2e training at "
+                    "e2e_h2d_bound_samples_per_sec for the wire-format "
+                    "batch (wire_bytes_per_batch_mb; the reference "
+                    "streams ~40 MB/batch dense). On a directly-attached "
+                    "TPU host the same traffic rides PCIe at GB/s and "
+                    "e2e ~= min(host, device).")})
+            _emit()
+        except Exception:   # pragma: no cover
+            pass
 
     try:
         calibrated_tflops = _calibrate_matmul_tflops()
