@@ -192,6 +192,13 @@ def _bench_host_pipeline(batch: int) -> dict:
         from medical_tri_modal_pilot_tpu.data.pipeline import get_data_loaders
 
         def run(worker_type: str) -> dict:
+            # earlier stages (and the other worker type's run) warmed the
+            # MODULE-level decoded-image LRU on these same fixtures; drop
+            # it so each run's cold epoch is actually cold (the on-disk
+            # image cache is off here: no --image-cache-dir in this cfg)
+            from medical_tri_modal_pilot_tpu.data import images as _images
+            _images.set_image_cache_mb(0)
+            _images.set_image_cache_mb(256)
             cfg = parse_config([
                 "--train-data-path", os.path.join(fix, "train"),
                 "--test-data-path", os.path.join(fix, "test"),
@@ -207,7 +214,13 @@ def _bench_host_pipeline(batch: int) -> dict:
                 # (reference missing-branch semantics, dataset_new.py:306)
                 "--dir-root", fix,
             ])
-            train_loader, _, _ = get_data_loaders(cfg)
+            train_loader, _val_l, _test_l = get_data_loaders(cfg)
+            # default 2_train path: txt rides the device table, so the
+            # host pipeline's per-item work excludes the h5 reads
+            from medical_tri_modal_pilot_tpu.data.txt_table import \
+                build_txt_table
+            build_txt_table(cfg, (train_loader.dataset, _val_l.dataset,
+                                  _test_l.dataset))
             t0 = time.perf_counter()
             seen = 0
             for b in iter(train_loader):   # cold: pkl/jpeg caches empty
@@ -1032,7 +1045,8 @@ def main() -> None:
     except Exception:
         pass
 
-    if "e2e_samples_per_sec_warm" not in _RECORD:
+    if ("e2e_samples_per_sec_warm" not in _RECORD
+            or "e2e_inprocess_samples_per_sec_warm" not in _RECORD):
         # budget squeeze or loaded tunnel: carry the newest successful e2e
         # measurement (BENCH_LKG.json) with explicit provenance so the
         # driver artifact still has the wall-clock training numbers
@@ -1040,7 +1054,8 @@ def main() -> None:
             with open(_LKG_PATH) as f:
                 rec = json.load(f)
             prev = rec.get("record", {})
-            if prev.get("e2e_samples_per_sec_warm") is not None:
+            if ("e2e_samples_per_sec_warm" not in _RECORD
+                    and prev.get("e2e_samples_per_sec_warm") is not None):
                 why = ("hit: " + str(_RECORD.get("e2e_error"))
                        if _RECORD.get("e2e_error")
                        else "had no budget left for the e2e stage")
@@ -1056,6 +1071,21 @@ def main() -> None:
                     f"({rec.get('measured_at')}, git "
                     f"{rec.get('git_head')}); this run {why}")
                 _RECORD.update(carried)
+            # same carry for the in-process e2e evidence
+            if ("e2e_inprocess_samples_per_sec_warm" not in _RECORD
+                    and prev.get("e2e_inprocess_samples_per_sec_warm")
+                    is not None):
+                _RECORD.update({
+                    "e2e_inprocess_samples_per_sec_warm":
+                        prev["e2e_inprocess_samples_per_sec_warm"],
+                    "e2e_inprocess_samples_per_sec_cold":
+                        _RECORD.get("e2e_inprocess_samples_per_sec_cold",
+                                    prev.get(
+                                        "e2e_inprocess_samples_per_sec_cold")),
+                    "e2e_inprocess_provenance": (
+                        f"carried from the last successful run "
+                        f"({rec.get('measured_at')}, git "
+                        f"{rec.get('git_head')})")})
         except Exception:
             pass
     _emit()
