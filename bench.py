@@ -108,6 +108,23 @@ _LKG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 _GIT_HEAD: list = []
 
 
+def _lkg_prev() -> dict:
+    """The LKG file as it stood BEFORE this run started. _save_lkg
+    overwrites the file after every stage emit, so end-of-run carry logic
+    reading the file live would only ever see this run's own (possibly
+    incomplete) record — snapshot once instead."""
+    if not hasattr(_lkg_prev, "_snap"):
+        try:
+            with open(_LKG_PATH) as f:
+                _lkg_prev._snap = json.load(f)
+        except Exception:
+            _lkg_prev._snap = {}
+    return _lkg_prev._snap
+
+
+_lkg_prev()   # snapshot at import, before any stage can overwrite the file
+
+
 def _save_lkg() -> None:
     """Persist the newest measurement that produced a real number so a later
     outage record can carry it (with provenance) instead of nothing. Called
@@ -126,12 +143,27 @@ def _save_lkg() -> None:
             _GIT_HEAD.append("")
     head = _GIT_HEAD[0]
     try:
+        record = {k: v for k, v in _RECORD.items()
+                  if k != "last_known_good"}
+        # crash insurance: a mid-run save must not wipe the previous run's
+        # e2e evidence from the LKG file — keep it (with provenance) until
+        # this run measures its own
+        prev = _lkg_prev()
+        prev_rec = prev.get("record", {})
+        for k in ("e2e_samples_per_sec_cold", "e2e_samples_per_sec_warm",
+                  "e2e_provenance", "e2e_inprocess_samples_per_sec_cold",
+                  "e2e_inprocess_samples_per_sec_warm",
+                  "e2e_inprocess_provenance"):
+            if k not in record and k in prev_rec:
+                record[k] = prev_rec[k]
+                record.setdefault(
+                    "e2e_lkg_carried_from",
+                    f"{prev.get('measured_at')} (git {prev.get('git_head')})")
         with open(_LKG_PATH, "w") as f:
             json.dump({"measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                                     time.gmtime()),
                        "git_head": head,
-                       "record": {k: v for k, v in _RECORD.items()
-                                  if k != "last_known_good"}}, f, indent=1)
+                       "record": record}, f, indent=1)
     except Exception:
         pass
 
@@ -140,8 +172,7 @@ def _attach_lkg() -> None:
     """On an outage, attach the newest committed measurement so the driver
     artifact still carries real numbers with explicit provenance."""
     try:
-        with open(_LKG_PATH) as f:
-            lkg = json.load(f)
+        lkg = _lkg_prev()
         _RECORD["last_known_good"] = {
             "measured_at": lkg.get("measured_at"),
             "git_head": lkg.get("git_head"),
@@ -1048,11 +1079,12 @@ def main() -> None:
     if ("e2e_samples_per_sec_warm" not in _RECORD
             or "e2e_inprocess_samples_per_sec_warm" not in _RECORD):
         # budget squeeze or loaded tunnel: carry the newest successful e2e
-        # measurement (BENCH_LKG.json) with explicit provenance so the
-        # driver artifact still has the wall-clock training numbers
+        # measurement (the pre-run BENCH_LKG.json snapshot — the live file
+        # was already overwritten by this run's own emits) with explicit
+        # provenance so the driver artifact still has the wall-clock
+        # training numbers
         try:
-            with open(_LKG_PATH) as f:
-                rec = json.load(f)
+            rec = _lkg_prev()
             prev = rec.get("record", {})
             if ("e2e_samples_per_sec_warm" not in _RECORD
                     and prev.get("e2e_samples_per_sec_warm") is not None):
