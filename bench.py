@@ -414,7 +414,10 @@ def _bench_e2e_train(budget_s: float) -> dict:
                          "val), native workers, device_prefetch; cold = "
                          "first epoch incl. host cache misses and (on a "
                          "cold XLA disk cache) the step compile; epoch "
-                         "times include validation" + timeout_note + ")")}
+                         "times include the per-epoch validation pass "
+                         "when the val split fills a batch (the 1000-stay "
+                         "fixtures' 10% split doesn't at B=64)"
+                         + timeout_note + ")")}
         if len(times) >= 2:
             out["e2e_samples_per_sec_warm"] = round(
                 samples / min(epoch_s[1:]), 1)
