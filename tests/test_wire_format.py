@@ -203,6 +203,50 @@ def test_wire_on_data_parallel_mesh(synth, tmp_path):
     assert np.isfinite(float(el))
 
 
+def test_fetch_text_id_gates_mirror_fetch_text(synth, tmp_path):
+    """Every gate that makes fetch_text emit the zero row must map to row
+    0: forced missing-combination, observed-prop dropout, txt0 file name,
+    empty note, note absent from the table."""
+    from medical_tri_modal_pilot_tpu.data.text import fetch_text_id
+    cfg = _cfg(synth, tmp_path)
+    tr, va, te = _loaders(cfg)
+    table = build_txt_table(cfg, (tr.dataset, va.dataset, te.dataset))
+    assert table is not None and len(table.rows_by_text) > 0
+    text, row = next(iter(table.rows_by_text.items()))
+    pkl = {"txt_input": [text]}
+    args = dict(phase_missing_key="train-missing", force_missing=False,
+                observed=True)
+    ok = fetch_text_id(cfg, pkl, "img1_txt1", table, **args)
+    assert ok == (row, int(table.lengths[row]), False)
+    assert fetch_text_id(cfg, pkl, "img1_txt1", table,
+                         "train-missing", force_missing=True)[2] is True
+    assert fetch_text_id(cfg, pkl, "img1_txt1", table, "train-missing",
+                         False, observed=False) == (0, 0, True)
+    assert fetch_text_id(cfg, pkl, "img1_txt0", table, **args) == (0, 0, True)
+    assert fetch_text_id(cfg, {"txt_input": ["  "]}, "img1_txt1", table,
+                         **args) == (0, 0, True)
+    assert fetch_text_id(cfg, {"txt_input": ["no such note"]}, "img1_txt1",
+                         table, **args) == (0, 0, True)
+
+
+def test_table_bf16_rows_under_bf16_precision(synth, tmp_path):
+    """--precision bf16 stores the device table in bf16 (half the HBM);
+    the model's first text op casts to bf16 anyway, so the round-trip is
+    value-equivalent. Pin that the step runs finite with bf16 rows."""
+    import jax.numpy as jnp
+    cfg = _cfg(synth, tmp_path)
+    cfg = cfg.replace(precision="bf16")
+    tr, va, te = _loaders(cfg)
+    table = build_txt_table(cfg, (tr.dataset, va.dataset, te.dataset))
+    assert table is not None
+    model = get_model(cfg)
+    batches = list(tr)
+    t = Trainer(cfg, model, len(batches), batches[0], seed=412,
+                txt_table=table)
+    assert t._txt_table_dev.dtype == jnp.bfloat16
+    assert np.isfinite(float(t.train_step(batches[0])))
+
+
 def test_table_budget_zero_disables(synth, tmp_path):
     cfg = _cfg(synth, tmp_path, ["--txt-device-table-mb", "0"])
     tr, va, te = _loaders(cfg)
